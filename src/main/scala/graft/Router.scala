@@ -1,0 +1,128 @@
+package graft
+
+import graft.RuleCompiler.RoutingPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The data path: apply a compiled [[RuleCompiler.RoutingPlan]] to a frame,
+  * drop unrouted rows, optionally enrich via broadcast lookup, and fan out
+  * to per-(label, tag) sinks with per-sink counts.
+  *
+  * Mirrors the reference's `process` (out_rewrite_tag_filter.rb:90-115) as a
+  * single narrow (map-side) pipeline: scan → case/when routing → filter.
+  * The only shuffles in the whole flow are (a) the final count aggregation
+  * and (b) an optional salted repartition before the fan-out write; the rule
+  * cascade itself is embarrassingly parallel, exactly like the reference's
+  * multi-worker mode (:76-78).
+  */
+object Router {
+
+  val NewTag = "new_tag"
+  val NewLabel = "new_label"
+  /** Default label namespace for sinks — the reference's default router
+    * (nil/empty label, :80-88).
+    */
+  val DefaultLabel = "@default"
+
+  /** Route without dropping: adds `new_tag` (nullable — null = no rule
+    * fired) and `new_label`. Exposed for metrics/differential tests.
+    */
+  def routeRaw(df: DataFrame, plan: RoutingPlan): DataFrame =
+    df.withColumn("__routed", plan.routed)
+      .withColumn(NewTag, col("__routed.tag"))
+      .withColumn(NewLabel, col("__routed.label"))
+      .drop("__routed")
+
+  /** Full routing incl. the unchanged/unrouted drop filter
+    * (out_rewrite_tag_filter.rb:96-100): drop when (no rule fired OR tag
+    * unchanged) AND no label; a label keeps an unchanged tag alive
+    * (relabel); a fired rule always has a non-null tag, but a null one
+    * falls back to the original (:100).
+    */
+  def route(df: DataFrame, plan: RoutingPlan): DataFrame = {
+    val orig = col(plan.tagCol)
+    routeRaw(df, plan)
+      .filter((col(NewTag).isNotNull && col(NewTag) =!= orig) ||
+        col(NewLabel).isNotNull)
+      .withColumn(NewTag, coalesce(col(NewTag), orig))
+  }
+
+  /** Convenience: compile + route. */
+  def route(
+      df: DataFrame,
+      rules: Seq[Rule],
+      cfg: RoutingConfig = RoutingConfig(),
+      tagCol: String = "source"): DataFrame =
+    route(df, RuleCompiler.compile(rules, cfg, df.schema, tagCol))
+
+  /** Routed-frame metrics via `observe` — emitted/matched/unmatched mirror
+    * the reference's drop trace (:97) and the north star's counter triple.
+    * Attach BEFORE the drop filter so unmatched rows are still visible.
+    * Read back from a QueryExecutionListener or `Observation`.
+    */
+  def routeObserved(df: DataFrame, plan: RoutingPlan,
+      observation: org.apache.spark.sql.Observation): DataFrame = {
+    val orig = col(plan.tagCol)
+    val kept = (col(NewTag).isNotNull && col(NewTag) =!= orig) ||
+      col(NewLabel).isNotNull
+    routeRaw(df, plan)
+      .observe(observation,
+        count(lit(1)).as("emitted"),
+        count(when(col(NewTag).isNotNull || col(NewLabel).isNotNull, 1)).as("matched"),
+        count(when(!kept, 1)).as("unmatched"))
+      .filter(kept)
+      .withColumn(NewTag, coalesce(col(NewTag), orig))
+  }
+
+  /** Broadcast lookup enrichment: left join a small tag-keyed dimension on
+    * the rewritten tag (north star: "rewritten tags are materialized via
+    * broadcast-joined lookup enrichment"). Always broadcast — never let the
+    * planner pick a shuffle join for a dimension of a few thousand rows.
+    */
+  def enrich(routed: DataFrame, lookup: DataFrame, lookupTagCol: String = "tag"): DataFrame =
+    routed.join(
+      broadcast(lookup.withColumnRenamed(lookupTagCol, NewTag)),
+      Seq(NewTag), "left")
+
+  /** Per-sink routed-row counts (R-GRP analog): one row per
+    * (label-namespace, tag). Partial+final hash aggregate; the map-side
+    * combine means the shuffle carries only one row per (label, tag) per
+    * task even at 10^12 input rows.
+    */
+  def sinkCounts(routed: DataFrame): DataFrame =
+    routed
+      .groupBy(
+        coalesce(col(NewLabel), lit(DefaultLabel)).as("label_ns"),
+        col(NewTag).as("tag"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** Fan-out write: one directory per (label-namespace, tag) —
+    * `.../new_label_ns=<label>/new_tag=<tag>/part-*.parquet`. A skewed tag
+    * distribution (one hot catch-all tag) would otherwise funnel into few
+    * write tasks, so rows are salted with `pmod(xxhash64(saltKey), salt)`
+    * before the partitioned write: each hot tag then spreads over up to
+    * `salt` tasks. `maxRecordsPerFile` bounds file size at scale.
+    */
+  def writeFanOut(
+      routed: DataFrame,
+      outDir: String,
+      salt: Int = 16,
+      saltKey: String = "doc_id",
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val withNs = routed
+      .withColumn("new_label_ns", coalesce(col(NewLabel), lit(DefaultLabel)))
+    val salted =
+      if (salt > 1)
+        withNs.repartition(
+          col("new_label_ns"), col(NewTag),
+          pmod(xxhash64(col(saltKey)), lit(salt)))
+      else withNs
+    salted
+      .drop(NewLabel)
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("new_label_ns", NewTag)
+      .parquet(outDir)
+  }
+}

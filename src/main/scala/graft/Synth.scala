@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic synthesis of the flagship input table
+  * `(doc_id:string, tokens:array<int32>, n_tok:int32, source:string)`
+  * (BASELINE.json input_hint) — pure column expressions seeded by row id, no
+  * RNG, so any two runs (and any two engines reading the written parquet)
+  * see identical data at any parallelism.
+  *
+  * The `source` tag pool is Zipf-skewed — one hot tag takes ~40% of rows —
+  * to exercise hot-tag salting in the fan-out write, mirroring the
+  * reference's catch-all-tag hotspot (README.md:119-123).
+  */
+object Synth {
+
+  /** (tag, weight) pool; weights sum to 100. */
+  val tagPool: Seq[(String, Int)] = Seq(
+    "td.apache.access"    -> 40, // hot tag
+    "td.nginx.access"     -> 15,
+    "input.tomcat.access" -> 12,
+    "game.production.api" -> 9,
+    "input"               -> 7,
+    "kubernetes.var.log"  -> 6,
+    "td.apache.error"     -> 4,
+    "game.staging.api"    -> 3,
+    "metrics.node.cpu"    -> 3,
+    "app.web.request"     -> 1)
+
+  val vocabSize = 50257 // GPT-2-ish vocab, arbitrary but fixed
+  val maxLen = 64
+
+  /** n deterministic sequence rows. */
+  def sequences(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    val weighted: Seq[String] = tagPool.flatMap { case (t, w) => Seq.fill(w)(t) }
+    val pool = array(weighted.map(lit): _*)
+    spark.range(n)
+      .withColumn("h", abs(xxhash64(col("id"), lit(seed))))
+      .select(
+        format_string("doc-%012d", col("id")).as("doc_id"),
+        transform(
+          sequence(lit(0), pmod(col("h"), lit(maxLen)).cast("int")),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(vocabSize)).cast("int")
+        ).as("tokens"),
+        col("h"),
+        col("id"))
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("source",
+        get(pool, pmod(xxhash64(col("id"), lit(seed + 1)), lit(weighted.size)).cast("int")))
+      .select("doc_id", "tokens", "n_tok", "source")
+  }
+
+  /** Write-once helper for benches: synthesize to parquet if absent, return
+    * path. Reading from disk makes N-vs-4N timing measure the pipeline, not
+    * the generator.
+    */
+  def materialize(spark: SparkSession, n: Long, dir: String, seed: Long = 42L): String = {
+    val path = s"$dir/sequences_n${n}_s$seed"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      sequences(spark, n, seed)
+        .repartition(math.max(8, spark.sparkContext.defaultParallelism))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+}

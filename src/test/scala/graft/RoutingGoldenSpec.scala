@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden port of the reference's own test suite
+  * (/root/reference/test/plugin/test_out_rewrite_tag_filter.rb) onto the
+  * Catalyst engine. Row order is relaxed to per-row-id assertions (Spark
+  * batches are unordered by design); tags, labels, per-sink membership and
+  * payload identity are asserted exactly.
+  */
+class RoutingGoldenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Build a frame of string columns (null = missing field) + row id + tag. */
+  private def frame(cols: Seq[String], tag: String, rows: Seq[Seq[Any]]): DataFrame = {
+    val schema = StructType(
+      StructField("rid", IntegerType, nullable = false) +:
+        cols.map(c => StructField(c, StringType, nullable = true)) :+
+        StructField("source", StringType, nullable = false))
+    val data = rows.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(i +: r :+ tag)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      schema)
+  }
+
+  /** collect rid → (new_tag, new_label) */
+  private def routedMap(df: DataFrame, rules: Seq[Rule],
+      cfg: RoutingConfig = RoutingConfig()): Map[Int, (String, Option[String])] =
+    Router.route(df, rules, cfg).collect().map { r =>
+      r.getAs[Int]("rid") ->
+        (r.getAs[String]("new_tag"), Option(r.getAs[String]("new_label")))
+    }.toMap
+
+  // --- test "simple" (:62-107): 5-rule cascade, 6 in → 5 out ------------
+  test("simple cascade: first-match-wins, backrefs, ${tag}, drop") {
+    val rules = Seq(
+      Rule("domain", "^www\\.google\\.com$", "site.Google"),
+      Rule("domain", "^news\\.google\\.com$", "site.GoogleNews"),
+      Rule("agent", ".* Mac OS X .*", "agent.MacOSX"),
+      Rule("agent", "(Googlebot|CustomBot)-([a-zA-Z]+)", "agent.$1-$2"),
+      Rule("domain", "^(tagtest)\\.google\\.com$", "site.${tag}.$1"))
+    val df = frame(Seq("domain", "path", "agent", "response_time"), "input.access", Seq(
+      Seq("www.google.com", "/foo/bar?key=value", "Googlebot", "1000000"),
+      Seq("news.google.com", "/", "Googlebot-Mobile", "900000"),
+      Seq("map.google.com", "/", "Macintosh; Intel Mac OS X 10_7_4", "900000"),
+      Seq("labs.google.com", "/", "Mozilla/5.0 Googlebot-FooBar/2.1", "900000"),
+      Seq("tagtest.google.com", "/", "Googlebot", "900000"),
+      Seq("noop.example.com", null, null, null)))
+    val out = routedMap(df, rules)
+    assert(out.size == 5) // noop row dropped
+    assert(out(0)._1 == "site.Google")
+    assert(out(1)._1 == "site.GoogleNews")
+    assert(out(2)._1 == "agent.MacOSX")
+    assert(out(3)._1 == "agent.Googlebot-FooBar")
+    assert(out(4)._1 == "site.input.access.tagtest") // backrefs before placeholders
+    assert(!out.contains(5))
+    // payload pass-through identity (reference asserts events[1][2]['domain'])
+    val r1 = Router.route(df, rules, RoutingConfig()).filter(col("rid") === 1).collect()(0)
+    assert(r1.getAs[String]("domain") == "news.google.com")
+  }
+
+  // --- remove_tag_prefix (:109-143), both with and without trailing dot --
+  test("remove_tag_prefix strips 'input' and 'input.'") {
+    val rules = Seq(Rule("domain", "^www\\.google\\.com$", "${tag}"))
+    val df = frame(Seq("domain"), "input.access", Seq(Seq("www.google.com")))
+    assert(routedMap(df, rules,
+      RoutingConfig(removeTagPrefix = Some("input")))(0)._1 == "access")
+    assert(routedMap(df, rules,
+      RoutingConfig(removeTagPrefix = Some("input.")))(0)._1 == "access")
+  }
+
+  // --- remove_tag_regexp (:145-167) --------------------------------------
+  test("remove_tag_regexp strips matching, leaves non-matching intact") {
+    val rules = Seq(Rule("domain", "^www\\.google\\.com$", "rewritten.${tag}"))
+    val cfg = RoutingConfig(removeTagRegexp = Some("^input\\.(apache|nginx)\\."))
+    def route1(tag: String): String = {
+      val df = frame(Seq("domain"), tag, Seq(Seq("www.google.com")))
+      routedMap(df, rules, cfg)(0)._1
+    }
+    assert(route1("input.apache.access") == "rewritten.access")
+    assert(route1("input.nginx.access") == "rewritten.access")
+    assert(route1("input.tomcat.access") == "rewritten.input.tomcat.access")
+  }
+
+  // --- short hostname (:169-186) -----------------------------------------
+  test("hostname placeholder uses configured (driver-captured) hostname") {
+    val rules = Seq(Rule("domain", "^www\\.google\\.com$", "${hostname}"))
+    val cfg = RoutingConfig(removeTagPrefix = Some("input"), hostname = "shorthost")
+    val df = frame(Seq("domain"), "input.access", Seq(Seq("www.google.com")))
+    assert(routedMap(df, rules, cfg)(0)._1 == "shorthost")
+  }
+
+  // --- non matching / invert (:188-213) ----------------------------------
+  test("invert: missing field is empty value; empty skips normal rules only") {
+    val rules = Seq(
+      Rule("domain", "^www\\..+$", "not_start_with_www", invert = true),
+      Rule("domain", "^www\\..+$", "start_with_www"))
+    val df = frame(Seq("domain", "path"), "input.access", Seq(
+      Seq("www.google.com", null),
+      Seq(null, "/"), // domain missing → "" → inverted rule evaluates and fires
+      Seq("maps.google.com", null)))
+    val out = routedMap(df, rules)
+    assert(out.size == 3)
+    assert(out(0)._1 == "start_with_www")
+    assert(out(1)._1 == "not_start_with_www")
+    assert(out(2)._1 == "not_start_with_www")
+  }
+
+  // --- split by tag (:215-253) -------------------------------------------
+  test("${tag_parts[n]} indexing and rule order") {
+    val rules = Seq(
+      Rule("user_name", "^Lynn Minmay$", "vip.${tag_parts[1]}.remember_love"),
+      Rule("user_name", "^Harlock$", "${tag_parts[2]}.${tag_parts[0]}.${tag_parts[1]}"),
+      Rule("world", "^(alice|chaos)$", "application.${tag_parts[0]}.$1_server"),
+      Rule("world", "^[a-z]+$", "application.${tag_parts[1]}.future_server"))
+    val df = frame(Seq("user_id", "world", "user_name"), "game.production.api", Seq(
+      Seq("10000", "chaos", "gamagoori"),
+      Seq("10001", "chaos", "sanageyama"),
+      Seq("10002", "nehan", "inumuta"),
+      Seq("77777", "space", "Lynn Minmay"),
+      Seq("99999", "space", "Harlock")))
+    val out = routedMap(df, rules)
+    assert(out(0)._1 == "application.game.chaos_server")
+    assert(out(1)._1 == "application.game.chaos_server")
+    assert(out(2)._1 == "application.production.future_server")
+    assert(out(3)._1 == "vip.production.remember_love")
+    assert(out(4)._1 == "api.game.production")
+  }
+
+  // --- nested keys (:293-325), dot and bracket notation -------------------
+  test("nested key via struct column, dot and bracket forms") {
+    val schema = StructType(Seq(
+      StructField("rid", IntegerType, nullable = false),
+      StructField("email", StructType(Seq(
+        StructField("localpart", StringType), StructField("domain", StringType)))),
+      StructField("source", StringType, nullable = false)))
+    val rows = Seq(
+      Row(0, Row("john", "example.com"), "input"),
+      Row(1, Row("doe", "example.jp"), "input"))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    for (key <- Seq("$.email.domain", "$['email']['domain']")) {
+      val out = Router.route(df, Seq(Rule(key, "^(example)\\.(com)$", "$2.$1")),
+        RoutingConfig()).collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[String]("new_tag") == "com.example")
+      assert(out(0).getAs[Int]("rid") == 0) // example.jp dropped (:327-348)
+    }
+  }
+
+  // --- relabel (:372-419) -------------------------------------------------
+  test("relabel: unchanged tag survives when a label is set") {
+    val rules = Seq(
+      Rule("key", "^(odd)$", "$1", label = Some("odd_label")),
+      Rule("key", "^(even)$", "${tag}", label = Some("even_label")),
+      Rule("key", "^(.*)$", "$1"))
+    val df = frame(Seq("key", "message"), "input", Seq(
+      Seq("odd", "message-1"), Seq("even", "message-2"), Seq("zero", "message-3"),
+      Seq("odd", "message-4"), Seq("even", "message-5"), Seq("zero", "message-6")))
+    val out = routedMap(df, rules)
+    assert(out.size == 6)
+    assert(out(0) == ("odd", Some("odd_label")))
+    assert(out(1) == ("input", Some("even_label"))) // unchanged tag + label → kept
+    assert(out(2) == ("zero", None))
+    assert(out(3) == ("odd", Some("odd_label")))
+    assert(out(4) == ("input", Some("even_label")))
+    assert(out(5) == ("zero", None))
+  }
+
+  // --- emit_mode batch grouping (:455-487) → per-sink sets/counts ---------
+  test("per-sink grouping: odd/even counts (batch-mode analog)") {
+    val rules = Seq(Rule("key", "^(odd|even)$", "$1"))
+    val df = frame(Seq("key", "message"), "input", Seq(
+      Seq("odd", "message-1"), Seq("even", "message-2"), Seq("odd", "message-3"),
+      Seq("even", "message-4"), Seq("odd", "message-5"), Seq("even", "message-6")))
+    val counts = Router.sinkCounts(Router.route(df, rules, RoutingConfig()))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(("@default", "odd") -> 3L, ("@default", "even") -> 3L))
+  }
+
+  // --- capitalize (R-CAP, :150; README ExampleMail) -----------------------
+  test("capitalize_regex_backreference: upper(head)+lower(tail), not initcap") {
+    val rules = Seq(Rule("domain", "^(maps|news|MAIL)\\.example\\.com$", "site.Example$1"))
+    val cfg = RoutingConfig(capitalizeRegexBackreference = true)
+    val df = frame(Seq("domain"), "input.access", Seq(
+      Seq("maps.example.com"), Seq("news.example.com"), Seq("MAIL.example.com")))
+    val out = routedMap(df, rules, cfg)
+    assert(out(0)._1 == "site.ExampleMaps")
+    assert(out(1)._1 == "site.ExampleNews")
+    assert(out(2)._1 == "site.ExampleMail") // "MAIL" → "Mail": rest is DOWNcased
+  }
+
+  // --- unknown placeholder / out-of-range behaviors -----------------------
+  test("unknown placeholder and out-of-range backref/tag_parts → empty string") {
+    val rules = Seq(
+      Rule("domain", "^(a)$", "x.${foo}.$5.${tag_parts[9]}.y"))
+    val df = frame(Seq("domain"), "t1.t2", Seq(Seq("a")))
+    // four literal dots survive; the three expansions are all ""
+    assert(routedMap(df, rules)(0)._1 == "x....y")
+  }
+
+  // --- inverted rules keep $n literal (:122-124) --------------------------
+  test("inverted rule does not substitute backrefs") {
+    val rules = Seq(Rule("domain", "^zzz$", "no_match.$1", invert = true))
+    val df = frame(Seq("domain"), "input", Seq(Seq("abc")))
+    assert(routedMap(df, rules)(0)._1 == "no_match.$1")
+  }
+
+  // --- drop metrics (:96-99 trace) ----------------------------------------
+  test("observe metrics: emitted / matched / unmatched") {
+    val rules = Seq(Rule("key", "^(odd)$", "$1"))
+    val df = frame(Seq("key"), "input", Seq(Seq("odd"), Seq("even"), Seq("odd")))
+    val obs = org.apache.spark.sql.Observation()
+    val plan = RuleCompiler.compile(rules, RoutingConfig(), df.schema, "source")
+    val n = Router.routeObserved(df, plan, obs).count()
+    assert(n == 2)
+    val m = obs.get
+    assert(m("emitted") == 3L)
+    assert(m("matched") == 2L)
+    assert(m("unmatched") == 1L)
+  }
+}
