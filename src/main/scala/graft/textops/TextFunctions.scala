@@ -1,0 +1,114 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization counts, quality scoring, language ID, fingerprinting.
+  *
+  * Design rules:
+  *  - built-in codegen'd expressions only (no UDFs) so everything stays
+  *    inside whole-stage codegen and scales linearly with input;
+  *  - integer/scaled-integer outputs (parts-per-million ratios via floor)
+  *    so results are bit-stable across engines — the DuckDB oracle mirrors
+  *    the same arithmetic exactly, no float-rounding divergence;
+  *  - RE2-compatible regexes (no lookahead/backrefs) for oracle parity.
+  */
+object TextFunctions {
+
+  /** Whitespace word tokens; "" → empty array (split would yield [""]). */
+  def words(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword count: letter runs, digit runs, single punctuation —
+    * the pre-tokenizer split a byte-pair encoder would see.
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** floor(n/d * 1e6) as long; 0 when d = 0. Bit-stable across engines. */
+  def ppm(n: Column, d: Column): Column =
+    when(d === 0, lit(0L))
+      .otherwise(floor(n.cast("double") * 1000000.0 / d.cast("double")))
+
+  private val stopwordPattern =
+    "\\b(the|a|an|of|and|or|is|to|in)\\b"
+
+  /** Quality metrics (length/punct/stopword ratios) — every column exact. */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val ws = words(text)
+    val nWords = size(ws)
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nStop = size(regexp_extract_all(lower(text), lit(stopwordPattern), lit(0)))
+    val nUpper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0)))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_words" -> nWords.cast("long"),
+      "mean_word_len_ppm" -> ppm(nChars - (nWords - 1), nWords), // chars sans separators
+      "punct_ppm" -> ppm(nPunct, nChars),
+      "stopword_ppm" -> ppm(nStop, nWords),
+      "upper_ppm" -> ppm(nUpper, nChars))
+  }
+
+  /** Composite quality score in [0, 100]: long docs with sane punctuation
+    * and some stopwords score high — the usual web-corpus heuristic, with
+    * integer-only arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text).toMap
+    val lenScore = least(m("n_words"), lit(40L)) // up to 40 pts for length
+    val stopScore = least(m("stopword_ppm") / 10000L, lit(30L)) // ≤30 pts
+    val punctPenalty = least(m("punct_ppm") / 10000L, lit(30L)) // ≥30% punct → -30
+    greatest(lit(0L), least(lit(100L), lenScore + stopScore + lit(30L) - punctPenalty))
+  }
+
+  /** Marker-word tables for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|was|with|that)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit)\\b",
+    "fr" -> "\\b(le|la|les|et|est|pas|avec)\\b",
+    "es" -> "\\b(el|los|las|es|y|no|con)\\b")
+
+  /** Heuristic language ID: CJK codepoints → zh; else argmax marker hits
+    * with first-listed language winning ties; no hits at all → "und".
+    */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // fold from the right so earlier-listed languages win ties
+    val folded = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(folded)
+  }
+
+  /** 64-bit FNV-1a document fingerprint (custom codegen'd expression). */
+  def fingerprint(text: Column): Column =
+    graft.expressions.FnvHash64(text)
+
+  /** Shift-invariant n-word rolling fingerprint: min of the shingle
+    * hashes — equal for any rotation/permutation-stable near-identical
+    * docs' shared shingles; the winnowing-style representative hash.
+    */
+  def shingleMinHash(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    array_min(transform(sh, s => xxhash64(s)))
+  }
+
+  /** n-word shingles; shorter docs collapse to a single whole-text shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) < n, array(concat_ws(" ", ws)))
+      .otherwise(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+}

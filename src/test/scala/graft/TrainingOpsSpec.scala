@@ -1,0 +1,239 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.textops.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(
+      ("a", "hello world"), ("b", ""), ("c", "  x  "),
+      ("d", "don't stop, it's 42!")).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextFunctions.tokenCountWs(col("text")).as("ws"),
+      TextFunctions.tokenCountBpe(col("text")).as("bpe"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got("a") == (2, 2))
+    assert(got("b") == (0, 0))
+    assert(got("c") == (1, 1))
+    // don ' t stop , it ' s 42 !  → 10 BPE-ish tokens, 4 ws tokens
+    assert(got("d") == (4, 10))
+  }
+
+  test("quality metrics exact integer arithmetic") {
+    val df = Seq(("a", "The cat and the dog.")).toDF("id", "text")
+    val m = df.select(TextFunctions.qualityMetrics(col("text"))
+      .map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(m.getAs[Long]("n_chars") == 20L)
+    assert(m.getAs[Long]("n_words") == 5L)
+    assert(m.getAs[Long]("punct_ppm") == 50000L) // 1 of 20 chars
+    assert(m.getAs[Long]("stopword_ppm") == 600000L) // the, and, the of 5 words
+  }
+
+  test("language ID heuristic picks marker language; CJK → zh") {
+    val df = Seq(
+      ("e", "the cat and the hat is back"),
+      ("d", "der hund und die katze ist nicht da"),
+      ("f", "le chat et la maison est pas loin"),
+      ("s", "el gato y los perros no con nada"),
+      ("z", "你好世界"),
+      ("u", "zzz qqq www")).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("e" -> "en", "d" -> "de", "f" -> "fr", "s" -> "es",
+      "z" -> "zh", "u" -> "und"))
+  }
+
+  test("fingerprint: FNV-1a matches reference vectors, codegen ≡ eval") {
+    // published FNV-1a 64 test vectors
+    assert(FnvVectors.check())
+    val df = Seq(("a", "hello"), ("b", "")).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == graft.expressions.FnvHash64.hash("hello".getBytes("UTF-8")))
+    assert(got("b") == 0xcbf29ce484222325L) // offset basis for empty input
+  }
+
+  test("shingles") {
+    val df = Seq(("a", "a b c d"), ("b", "x y")).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("a") == Seq("a b c", "b c d"))
+    assert(got("b") == Seq("x y")) // shorter than n → whole text
+  }
+}
+
+object FnvVectors {
+  import graft.expressions.FnvHash64.hash
+  def check(): Boolean =
+    hash("".getBytes) == 0xcbf29ce484222325L &&
+      hash("a".getBytes) == 0xaf63dc4c8601ec8cL &&
+      hash("foobar".getBytes) == 0x85944171f73967e8L
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the quick brown fox jumps over the lazy dog"), // exact dup of d1
+    ("d3", "the quick brown fox jumps over the lazy cat"), // near dup
+    ("d4", "completely different text about spark engines"),
+    ("d5", "completely different text about spark engines today"), // near dup of d4
+    ("d6", "short"),
+    ("d7", "the quick brown fox jumps over the lazy dog")) // exact dup of d1
+    .toDF("doc_id", "text")
+
+  test("exact dedup elects min-id keeper") {
+    val out = Dedup.exact(corpus).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[String]("keeper_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out("d1") == ("d1", false))
+    assert(out("d2") == ("d1", true))
+    assert(out("d7") == ("d1", true))
+    assert(out("d4") == ("d4", false))
+  }
+
+  test("minhash LSH finds near-dup pairs and verifies jaccard") {
+    val pairs = Dedup.minHashLshPairs(corpus, thresholdPpm = 500000L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("d1", "d2"))) // identical → jaccard 1.0
+    assert(pairs.contains(("d1", "d3")) || pairs.contains(("d2", "d3")),
+      s"near-dup d3 not found in $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set("d1", "d4") })
+  }
+
+  test("simhash: identical docs distance 0, near dups small hamming") {
+    val sigs = corpus.select(col("doc_id"), Dedup.simHashBits(col("text")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sigs("d1").length == 64 && sigs("d1").forall(c => c == '0' || c == '1'))
+    assert(sigs("d1") == sigs("d2"))
+    val hamming13 = sigs("d1").zip(sigs("d3")).count { case (a, b) => a != b }
+    val hamming14 = sigs("d1").zip(sigs("d4")).count { case (a, b) => a != b }
+    assert(hamming13 < hamming14)
+    val pairs = Dedup.simHashPairs(corpus, maxHamming = 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("d1", "d2")) && pairs.contains(("d1", "d7")))
+  }
+
+  test("blocked n-gram jaccard pairs") {
+    val df = corpus.withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", "n_chars",
+      lenTolerance = 16, thresholdPpm = 500000L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("d1", "d2")))
+    assert(pairs.contains(("d4", "d5")))
+  }
+}
+
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("brute force top-k: ranks are exact vs driver-side recomputation") {
+    val queries = emb.filter(col("vec_id") < 2)
+    val got = Ann.bruteForceTopK(emb, queries, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq)
+      .toMap
+
+    // driver-side oracle
+    val all = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- Seq(0L, 1L)) {
+      val want = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, math.floor(cos(all(q), v) * 1000000.0).toLong) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      assert(got(q) == want, s"query $q")
+    }
+  }
+
+  test("LSH ANN: same-bucket candidates, recall vs brute force reported") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val approx = Ann.lshTopK(emb, queries, k = 10, numPlanes = 4).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      val a = approx.getOrElse(q, Set.empty)
+      a.intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"LSH recall@10 with 4 planes: $mean%.2f")
+    assert(mean > 0.2, s"recall collapsed: $mean") // 4 planes = 16 buckets on 100 vecs
+    // every approx neighbor really is in the query's bucket ⇒ subset sanity
+    assert(approx.values.forall(_.size <= 10))
+  }
+
+  test("cosine near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Ann.cosineNearDupPairs(emb, thresholdPpm = 700000L, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.forall { case (a, b, s) => a < b && s >= 700000L })
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    ("m1", "some text payload standing in for bytes"),
+    ("m2", "another payload with different content entirely"),
+    ("m3", "x")).toDF("doc_id", "text")
+
+  test("media table schema and deterministic metadata") {
+    val media = Multimodal.withMetadata(Multimodal.fromDocuments(docs))
+    val rows = media.collect().map(r => r.getAs[String]("doc_id") -> r).toMap
+    assert(media.schema("media").dataType.typeName == "binary")
+    assert(rows("m1").getAs[Long]("n_bytes") ==
+      "some text payload standing in for bytes".getBytes("UTF-8").length.toLong)
+    assert(Set("image", "audio", "video").contains(rows("m1").getAs[String]("media_type")))
+    // image rows have no duration
+    rows.values.filter(_.getAs[String]("media_type") == "image")
+      .foreach(r => assert(r.getAs[Long]("duration_ms") == 0L))
+    // deterministic across runs
+    val again = Multimodal.withMetadata(Multimodal.fromDocuments(docs)).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[Int]("width")).toMap
+    assert(rows.view.mapValues(_.getAs[Int]("width")).toMap == again)
+  }
+
+  test("frame sampling yields n binary frames") {
+    val framed = Multimodal.sampleFrames(Multimodal.fromDocuments(docs), nFrames = 4)
+    val f = framed.filter(col("doc_id") === "m1").select("frames").collect()(0)
+      .getSeq[Array[Byte]](0)
+    assert(f.length == 4)
+    assert(f.head.nonEmpty)
+  }
+
+  test("batched decode stub: typed output, deterministic features") {
+    val feats = Multimodal.decodeFeatures(spark,
+      Multimodal.fromDocuments(docs), batchSize = 2, featureDim = 8).collect()
+    assert(feats.length == 3)
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(_.feature.forall(v => v >= 0f && v < 1f)))
+    val again = Multimodal.decodeFeatures(spark,
+      Multimodal.fromDocuments(docs), batchSize = 64, featureDim = 8).collect()
+    assert(feats.map(f => f.doc_id -> f.feature.toSeq).toMap ==
+      again.map(f => f.doc_id -> f.feature.toSeq).toMap)
+  }
+}
