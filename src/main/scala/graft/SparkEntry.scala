@@ -1,13 +1,449 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.textops.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory + training-data ops), each with a DuckDB oracle
+  * where the semantics are SQL-expressible (xxhash64/FNV-based ops get
+  * rows-only checks; their exact semantics are pinned by the ScalaTest
+  * golden + differential suites instead).
+  *
+  * Oracle-parity rules: RE2-compatible regexes only (DuckDB), identical
+  * column names/aliases both sides, BIGINT-normalized numeric outputs,
+  * scaled-integer (ppm) ratios — no float hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full route→enrich→aggregate over the synthesized sequence
+    * table (driver smoke-checks rows > 0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipelines.flagship(spark, Synth.sequences(spark, 20000L))
+
+  // ---- shared input shaping -----------------------------------------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents + dot-separated routing tag `tag0` = input.<lang>.<source>. */
+  private def docsTagged(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("tag0",
+      concat(lit("input."), col("lang"), lit("."), col("source")))
+
+  private val docsTaggedSql =
+    "(SELECT *, 'input.' || lang || '.' || source AS tag0 FROM documents)"
+
+  // ---- rule tables for the oracle-facing routing queries ------------------
+
+  private val firstMatchRules = Seq(
+    Rule("lang", "^en$", "docs.english"),
+    Rule("lang", "^(de|fr|es)$", "docs.euro.$1"),
+    Rule("source", "^src1[0-9]$", "docs.teen.${tag_parts[2]}"),
+    Rule("lang", "^$", "docs.other.${tag_parts[1]}", invert = true))
+
+  private val dropRelabelRules = Seq(
+    Rule("lang", "^en$", "${tag}"), // unchanged, unlabeled → dropped
+    Rule("lang", "^de$", "${tag}", label = Some("germany")), // relabel keeps it
+    Rule("lang", "^(fr|es|zh)$", "kept.$1"))
+
+  // ---- queries ------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R-FIRST / R-MATCH / R-BREF / R-PLH / R-INV / R-EMPTY / R-DROP
+    "q_route_first_match" -> ((s, dir) => {
+      Router.route(docsTagged(s, dir), firstMatchRules, RoutingConfig(), "tag0")
+        .select(col("doc_id"), col("new_tag"))
+    }),
+
+    // R-BREF + R-CAP (capitalize = upper head + lower tail)
+    "q_route_backref_capitalize" -> ((s, dir) => {
+      val rules = Seq(Rule("source", "^(src)([0-9]+)$", "site.$1$2.${tag_parts[1]}"))
+      Router.route(docsTagged(s, dir), rules,
+        RoutingConfig(capitalizeRegexBackreference = true), "tag0")
+        .select(col("doc_id"), col("new_tag"))
+    }),
+
+    // R-STRIP (prefix form) + ${tag}/${tag_parts}
+    "q_route_tag_parts_strip" -> ((s, dir) => {
+      val rules = Seq(
+        Rule("n_chars", "[0-9]{3,}", "long.${tag}"),
+        Rule("lang", ".+", "short.${tag_parts[0]}"))
+      Router.route(docsTagged(s, dir), rules,
+        RoutingConfig(removeTagPrefix = Some("input")), "tag0")
+        .select(col("doc_id"), col("new_tag"))
+    }),
+
+    // R-INV + R-EMPTY on a nullable column
+    "q_route_invert_empty" -> ((s, dir) => {
+      val df = docsTagged(s, dir)
+        .withColumn("dom", when(col("lang") === "en", lit(null)).otherwise(col("lang")))
+      val rules = Seq(
+        Rule("dom", "^(zh|es)$", "asia_es.$1"),
+        Rule("dom", "^(de|fr)$", "not_defr", invert = true))
+      Router.route(df, rules, RoutingConfig(), "tag0")
+        .select(col("doc_id"), col("new_tag"))
+    }),
+
+    // R-DROP + relabel semantics, row level
+    "q_route_drop_relabel" -> ((s, dir) => {
+      Router.route(docsTagged(s, dir), dropRelabelRules, RoutingConfig(), "tag0")
+        .select(col("doc_id"), col("new_tag"), col("new_label"))
+    }),
+
+    // R-HOST + R-STRIP (regexp form)
+    "q_route_hostname" -> ((s, dir) => {
+      val rules = Seq(Rule("source", ".+", "h.${hostname}.${tag_parts[0]}"))
+      Router.route(docsTagged(s, dir), rules,
+        RoutingConfig(hostname = "oracle-host",
+          removeTagRegexp = Some("^input\\.")), "tag0")
+        .select(col("doc_id"), col("new_tag"))
+    }),
+
+    // R-GRP: per-sink counts over the routed frame
+    "q_sink_counts" -> ((s, dir) => {
+      Router.sinkCounts(
+        Router.route(docsTagged(s, dir), dropRelabelRules, RoutingConfig(), "tag0"))
+    }),
+
+    // broadcast lookup enrichment on the rewritten tag
+    "q_route_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val lookup = Seq(
+        ("docs.english", "en-sink", 1L),
+        ("docs.euro.de", "de-sink", 2L),
+        ("docs.euro.fr", "fr-sink", 2L))
+        .toDF("tag", "sink_name", "priority")
+      Router.enrich(
+        Router.route(docsTagged(s, dir), firstMatchRules, RoutingConfig(), "tag0"),
+        lookup)
+        .select(col("doc_id"), col("new_tag"), col("sink_name"), col("priority"))
+    }),
+
+    // datacounter-style regex-bucket aggregation per tag (SURVEY §2.3)
+    "q_bucket_counts" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("source"))
+        .agg(
+          count(when(col("text").rlike("\\bspark\\b"), 1)).as("n_spark"),
+          count(when(col("text").rlike("\\bquery\\b"), 1)).as("n_query"),
+          count(lit(1)).as("n_total"))
+    }),
+
+    // text analysis: token counting
+    "q_token_count" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+        TextFunctions.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"))
+    }),
+
+    // text analysis: quality metrics + composite score (integer-exact)
+    "q_text_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = TextFunctions.qualityMetrics(col("text"))
+      d.select(
+        (col("doc_id") +: m.collect {
+          case (n, c) if n != "mean_word_len_ppm" && n != "upper_ppm" => c.as(n)
+        }) :+ TextFunctions.qualityScore(col("text")).as("quality"): _*)
+    }),
+
+    // text analysis: language ID heuristic
+    "q_lang_id" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+    }),
+
+    // exact dedup (fingerprint-grouped keeper election)
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir)).select(
+        col("doc_id"), col("keeper_id"),
+        col("is_dup").cast("long").as("is_dup"))
+    }),
+
+    // blocked n-gram (word-set) Jaccard near-dup pairs
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("blk", concat(col("lang"), lit(":"),
+          floor(col("n_chars") / 64).cast("long")))
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", "blk", "n_chars",
+        lenTolerance = 1000000, thresholdPpm = 400000L)
+    }),
+
+    // MinHash+LSH near-dup pairs (xxhash64-based → rows-only check)
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashLshPairs(docs(s, dir).withColumn("doc_id", col("doc_id").cast("string")),
+        thresholdPpm = 400000L)
+    }),
+
+    // SimHash signatures + banded pairs (xxhash64-based → rows-only check)
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(docs(s, dir).withColumn("doc_id", col("doc_id").cast("string")),
+        maxHamming = 12)
+    }),
+
+    // brute-force cosine top-k over embeddings
+    "q_embed_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
+    // LSH-bucketed ANN (deterministic hyperplanes → rows-only check)
+    "q_embed_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 3), k = 10, numPlanes = 6)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
+    // embedding cosine near-duplicate pairs (LSH-blocked)
+    "q_embed_neardup" -> ((s, dir) => {
+      Ann.cosineNearDupPairs(emb(s, dir), thresholdPpm = 300000L, numPlanes = 4)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // multimodal: binary payload metadata (oracle-mirrorable subset)
+    "q_mm_meta" -> ((s, dir) => {
+      Multimodal.fromDocuments(docs(s, dir))
+        .withColumn("media_kind",
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id").cast("long"), lit(3)) + 1).cast("int")))
+        .withColumn("duration_ms",
+          when(col("media_kind") === "image", lit(0L))
+            .otherwise(col("n_bytes") * 40L))
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_bytes"),
+          col("media_kind"), col("duration_ms"))
+    }))
+
+  // ---- DuckDB oracles -----------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_route_first_match" ->
+      s"""SELECT doc_id, new_tag FROM (
+         |  SELECT doc_id, tag0,
+         |    CASE
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^en$$') THEN 'docs.english'
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^(de|fr|es)$$')
+         |        THEN 'docs.euro.' || regexp_extract(lang, '^(de|fr|es)$$', 1)
+         |      WHEN coalesce(source,'') <> '' AND regexp_matches(source, '^src1[0-9]$$')
+         |        THEN 'docs.teen.' || split_part(tag0, '.', 3)
+         |      WHEN NOT regexp_matches(coalesce(lang,''), '^$$')
+         |        THEN 'docs.other.' || split_part(tag0, '.', 2)
+         |    END AS new_tag
+         |  FROM $docsTaggedSql
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
+
+    "q_route_backref_capitalize" ->
+      s"""SELECT doc_id, new_tag FROM (
+         |  SELECT doc_id, tag0,
+         |    CASE WHEN coalesce(source,'') <> '' AND regexp_matches(source, '^(src)([0-9]+)$$')
+         |      THEN 'site.'
+         |        || upper(substr(regexp_extract(source, '^(src)([0-9]+)$$', 1), 1, 1))
+         |        || lower(substr(regexp_extract(source, '^(src)([0-9]+)$$', 1), 2))
+         |        || upper(substr(regexp_extract(source, '^(src)([0-9]+)$$', 2), 1, 1))
+         |        || lower(substr(regexp_extract(source, '^(src)([0-9]+)$$', 2), 2))
+         |        || '.' || split_part(tag0, '.', 2)
+         |    END AS new_tag
+         |  FROM $docsTaggedSql
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
+
+    "q_route_tag_parts_strip" ->
+      s"""SELECT doc_id, new_tag FROM (
+         |  SELECT doc_id, tag0, regexp_replace(tag0, '^input\\.?', '') AS stripped,
+         |    CASE
+         |      WHEN coalesce(CAST(n_chars AS VARCHAR),'') <> ''
+         |           AND regexp_matches(CAST(n_chars AS VARCHAR), '[0-9]{3,}')
+         |        THEN 'long.' || regexp_replace(tag0, '^input\\.?', '')
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '.+')
+         |        THEN 'short.' || split_part(regexp_replace(tag0, '^input\\.?', ''), '.', 1)
+         |    END AS new_tag
+         |  FROM $docsTaggedSql
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
+
+    "q_route_invert_empty" ->
+      s"""SELECT doc_id, new_tag FROM (
+         |  SELECT doc_id, tag0,
+         |    CASE
+         |      WHEN coalesce(dom,'') <> '' AND regexp_matches(dom, '^(zh|es)$$')
+         |        THEN 'asia_es.' || regexp_extract(dom, '^(zh|es)$$', 1)
+         |      WHEN NOT regexp_matches(coalesce(dom,''), '^(de|fr)$$') THEN 'not_defr'
+         |    END AS new_tag
+         |  FROM (SELECT *, nullif(lang, 'en') AS dom FROM $docsTaggedSql)
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
+
+    "q_route_drop_relabel" ->
+      s"""SELECT doc_id, new_tag, new_label FROM (
+         |  SELECT doc_id, tag0,
+         |    CASE
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^en$$') THEN tag0
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^de$$') THEN tag0
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^(fr|es|zh)$$')
+         |        THEN 'kept.' || regexp_extract(lang, '^(fr|es|zh)$$', 1)
+         |    END AS new_tag,
+         |    CASE
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^en$$') THEN NULL
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^de$$') THEN 'germany'
+         |    END AS new_label
+         |  FROM $docsTaggedSql
+         |) WHERE (new_tag IS NOT NULL AND new_tag <> tag0) OR new_label IS NOT NULL""".stripMargin,
+
+    "q_route_hostname" ->
+      s"""SELECT doc_id, new_tag FROM (
+         |  SELECT doc_id, tag0,
+         |    CASE WHEN coalesce(source,'') <> '' AND regexp_matches(source, '.+')
+         |      THEN 'h.oracle-host.'
+         |        || split_part(regexp_replace(tag0, '^input\\.', ''), '.', 1)
+         |    END AS new_tag
+         |  FROM $docsTaggedSql
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
+
+    "q_sink_counts" ->
+      s"""SELECT coalesce(new_label, '@default') AS label_ns, new_tag AS tag,
+         |       count(*) AS n_rows
+         |FROM (
+         |  SELECT tag0,
+         |    CASE
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^en$$') THEN tag0
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^de$$') THEN tag0
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^(fr|es|zh)$$')
+         |        THEN 'kept.' || regexp_extract(lang, '^(fr|es|zh)$$', 1)
+         |    END AS new_tag,
+         |    CASE
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^en$$') THEN NULL
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^de$$') THEN 'germany'
+         |    END AS new_label
+         |  FROM $docsTaggedSql
+         |) WHERE (new_tag IS NOT NULL AND new_tag <> tag0) OR new_label IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_route_enrich" ->
+      s"""SELECT r.doc_id, r.new_tag, l.sink_name, l.priority FROM (
+         |  SELECT doc_id, tag0,
+         |    CASE
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^en$$') THEN 'docs.english'
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^(de|fr|es)$$')
+         |        THEN 'docs.euro.' || regexp_extract(lang, '^(de|fr|es)$$', 1)
+         |      WHEN coalesce(source,'') <> '' AND regexp_matches(source, '^src1[0-9]$$')
+         |        THEN 'docs.teen.' || split_part(tag0, '.', 3)
+         |      WHEN NOT regexp_matches(coalesce(lang,''), '^$$')
+         |        THEN 'docs.other.' || split_part(tag0, '.', 2)
+         |    END AS new_tag
+         |  FROM $docsTaggedSql
+         |) r
+         |LEFT JOIN (VALUES
+         |    ('docs.english', 'en-sink', CAST(1 AS BIGINT)),
+         |    ('docs.euro.de', 'de-sink', CAST(2 AS BIGINT)),
+         |    ('docs.euro.fr', 'fr-sink', CAST(2 AS BIGINT))
+         |  ) AS l(tag, sink_name, priority)
+         |  ON r.new_tag = l.tag
+         |WHERE r.new_tag IS NOT NULL AND r.new_tag <> r.tag0""".stripMargin,
+
+    "q_bucket_counts" ->
+      """SELECT source,
+        |  count(CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 END) AS n_spark,
+        |  count(CASE WHEN regexp_matches(text, '\bquery\b') THEN 1 END) AS n_query,
+        |  count(*) AS n_total
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, n_chars, n_words, punct_ppm, stopword_ppm,
+        |  greatest(0, least(100,
+        |    least(n_words, 40) + least(stopword_ppm // 10000, 30)
+        |    + 30 - least(punct_ppm // 10000, 30))) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    len(text) AS n_chars,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+        |    CASE WHEN len(text) = 0 THEN 0
+        |         ELSE CAST(floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |              * 1000000.0 / len(text)) AS BIGINT) END AS punct_ppm,
+        |    CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0
+        |         ELSE CAST(floor(
+        |            len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|is|to|in)\b'))
+        |            * 1000000.0
+        |            / (CASE WHEN trim(text) = '' THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END))
+        |          AS BIGINT) END AS stopword_ppm
+        |  FROM documents
+        |)""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN h_en = best AND best > 0 THEN 'en'
+        |    WHEN h_de = best AND best > 0 THEN 'de'
+        |    WHEN h_fr = best AND best > 0 THEN 'fr'
+        |    WHEN h_es = best AND best > 0 THEN 'es'
+        |    ELSE 'und'
+        |  END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, text, h_en, h_de, h_fr, h_es,
+        |         greatest(h_en, h_de, h_fr, h_es) AS best
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|with|that)\b')) AS h_en,
+        |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS h_de,
+        |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|pas|avec)\b')) AS h_fr,
+        |      len(regexp_extract_all(lower(text), '\b(el|los|las|es|y|no|con)\b')) AS h_es
+        |    FROM documents
+        |  )
+        |)""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY text) AS keeper_id,
+        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS is_dup
+        |FROM documents""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(floor(len(list_intersect(a.ws, b.ws)) * 1000000.0
+        |       / len(list_distinct(list_concat(a.ws, b.ws)))) AS BIGINT) AS jaccard_ppm
+        |FROM
+        |  (SELECT doc_id, lang || ':' || CAST(n_chars // 64 AS VARCHAR) AS blk,
+        |     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |   FROM documents WHERE trim(text) <> '') a
+        |JOIN
+        |  (SELECT doc_id, lang || ':' || CAST(n_chars // 64 AS VARCHAR) AS blk,
+        |     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
+        |   FROM documents WHERE trim(text) <> '') b
+        |ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws)) * 1000000.0
+        |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 400000""".stripMargin,
+
+    "q_embed_topk" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY floor(list_cosine_similarity(q.embedding, c.embedding) * 1000000.0)
+        |        DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+        |) WHERE rank <= 10""".stripMargin,
+
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+        |  CASE WHEN doc_id % 3 = 0 THEN 0
+        |       ELSE CAST(octet_length(encode(text)) AS BIGINT) * 40 END AS duration_ms
+        |FROM documents""".stripMargin)
 }

@@ -62,9 +62,10 @@ object TextFunctions {
     */
   def qualityScore(text: Column): Column = {
     val m = qualityMetrics(text).toMap
+    def idiv(c: Column, d: Long): Column = floor(c / d).cast("long") // int division (c ≥ 0)
     val lenScore = least(m("n_words"), lit(40L)) // up to 40 pts for length
-    val stopScore = least(m("stopword_ppm") / 10000L, lit(30L)) // ≤30 pts
-    val punctPenalty = least(m("punct_ppm") / 10000L, lit(30L)) // ≥30% punct → -30
+    val stopScore = least(idiv(m("stopword_ppm"), 10000L), lit(30L)) // ≤30 pts
+    val punctPenalty = least(idiv(m("punct_ppm"), 10000L), lit(30L)) // ≥30% punct → -30
     greatest(lit(0L), least(lit(100L), lenScore + stopScore + lit(30L) - punctPenalty))
   }
 
