@@ -29,8 +29,15 @@ object Ann {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
+  def cosine(a: Column, b: Column): Column =
+    cosinePrenormed(a, b, norm(a), norm(b))
+
+  /** Cosine with caller-supplied norms — precompute the norms per ROW
+    * before a pair join so each pair costs one dot product, not three.
+    * Same IEEE expression shape as [[cosine]] (oracle-parity safe).
+    */
+  def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
@@ -49,11 +56,14 @@ object Ann {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       k: Int = 10): DataFrame = {
+    // norms precomputed per row (1 dot per pair instead of 3)
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      col(idCol).as("query_id"), col(vecCol).as("qv"), norm(col(vecCol)).as("qn")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
       .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim_ppm", floor(cosine(col("qv"), col("cv")) * 1000000.0))
+      .withColumn("sim_ppm", floor(cosinePrenormed(
+        col("qv"), col("cv"), col("qn"), col("cn")) * 1000000.0))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_ppm").desc, col("neighbor_id").asc)
     scored
@@ -101,14 +111,15 @@ object Ann {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val ps = planes(numPlanes, dim, seed)
     val bc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      bucketKey(col(vecCol), ps).as("bucket"))
+      norm(col(vecCol)).as("cn"), bucketKey(col(vecCol), ps).as("bucket"))
     val bq = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      bucketKey(col(vecCol), ps).as("bucket")))
+      norm(col(vecCol)).as("qn"), bucketKey(col(vecCol), ps).as("bucket")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_ppm").desc, col("neighbor_id").asc)
     bc.join(bq, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim_ppm", floor(cosine(col("qv"), col("cv")) * 1000000.0))
+      .withColumn("sim_ppm", floor(cosinePrenormed(
+        col("qv"), col("cv"), col("qn"), col("cn")) * 1000000.0))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim_ppm")
@@ -127,12 +138,13 @@ object Ann {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val ps = planes(numPlanes, dim, seed)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      bucketKey(col(vecCol), ps).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      norm(col(vecCol)).as("n"), bucketKey(col(vecCol), ps).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim_ppm", floor(cosine(col("v_a"), col("v_b")) * 1000000.0))
+      .withColumn("sim_ppm", floor(cosinePrenormed(
+        col("v_a"), col("v_b"), col("n_a"), col("n_b")) * 1000000.0))
       .filter(col("sim_ppm") >= thresholdPpm)
       .select("id_a", "id_b", "sim_ppm")
   }

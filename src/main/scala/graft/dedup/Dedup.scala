@@ -41,16 +41,32 @@ object Dedup {
       .drop("__fp")
   }
 
-  /** MinHash signature: for each of `numHashes` hash functions, the min over
-    * the doc's shingle hashes. The j-th function is xxhash64 re-seeded by j
-    * (no a*x+b mod p arithmetic → no ANSI overflow, one codegen'd tree).
+  /** MinHash signature from a pre-hashed shingle array: for each of
+    * `numHashes` hash functions, the min over the doc's shingle hashes. The
+    * j-th function is xxhash64 re-seeded by j (no a*x+b mod p arithmetic →
+    * no ANSI overflow).
+    *
+    * Evaluation shape matters at scale: a naive
+    * `transform(0..n, j -> array_min(transform(hashes, ...)))` re-evaluates
+    * the shingle-hash subtree once per hash function (n× the work — it
+    * showed up as a 20× slowdown in the bench). This form is ONE
+    * `aggregate` pass over the shingles with an n-wide array accumulator:
+    * each shingle is hashed n ways exactly once.
     */
-  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val shingleHashes =
-      transform(TextFunctions.shingles(text, shingleSize), s => xxhash64(s))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleHashes, h => xxhash64(h, j))))
-  }
+  def minHashFromHashes(shingleHashes: Column, numHashes: Int): Column =
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), j => xxhash64(h, j)),
+        (a, b) => least(a, b)))
+
+  /** Convenience: signature straight from text. */
+  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    minHashFromHashes(
+      transform(TextFunctions.shingles(text, shingleSize), s => xxhash64(s)),
+      numHashes)
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -74,30 +90,39 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
 
-    val sigs = df.select(
+    // distinct shingle-hash set per doc (also the exact-verify input)
+    val withSets = df.select(
       col(idCol).as("id"),
-      minHashSignature(col(textCol), numHashes, shingleSize).as("mh"),
       array_distinct(transform(
         TextFunctions.shingles(col(textCol), shingleSize), s => xxhash64(s))).as("sh"))
 
-    // one row per (doc, band): band key hashes that band's signature slice
-    val banded = sigs.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("mh"), b * r + lit(1), lit(r)), b))).as("band_key"))
+    // Two-step projection so the signature materializes once per row: the
+    // band array references `mh` `bands` times, which stops CollapseProject
+    // from inlining the aggregate back into the per-band expressions (a
+    // once-referenced alias WOULD be inlined and recomputed per band).
+    val withSig = withSets.select(col("id"),
+      minHashFromHashes(col("sh"), numHashes).as("mh"))
+    // one row per (doc, band); only (id, band_key) shuffles — the heavy
+    // shingle sets stay behind and are joined back for verification only
+    val banded = withSig.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        xxhash64(slice(col("mh"), b * r + 1, r), lit(b))): _*)).as("band_key"))
 
-    val capped = banded
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band_key")))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
-
-    val a = capped.select(col("band_key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("band_key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val pairs = a.join(b, Seq("band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
+    // bucket = docs sharing a band key; candidate pairs expand inside the
+    // bucket row (no self-join). Cap kills degenerate buckets (would be
+    // quadratic); run `exact` first — those are exact-dup territory.
+    val pairs = banded
+      .groupBy("band_key").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
 
     pairs
+      .join(withSets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(withSets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
       .withColumn("jaccard_ppm", jaccardPpm(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_ppm") >= thresholdPpm)
       .select("id_a", "id_b", "jaccard_ppm")
@@ -110,15 +135,23 @@ object Dedup {
   /** 64-bit SimHash as a 64-char '0'/'1' string (string form avoids signed
     * long-overflow issues under ANSI and makes banding trivial). Bit j is 1
     * iff the sum over word hashes of ±1 (by that hash's bit j) is positive.
+    *
+    * Single `aggregate` pass with a 64-wide counter array — each word is
+    * hashed once (the transposed form would hash every word 64 times).
+    * Counter order is MSB-first (bit 63 → position 0 of the string).
     */
   def simHashBits(text: Column): Column = {
     val wordHashes = transform(TextFunctions.words(text), w => xxhash64(w))
+    val counts = aggregate(
+      wordHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(63), lit(0), lit(-1)),
+          j => when(bit_get(h, j) === 1, 1L).otherwise(-1L)),
+        (a, b) => a + b))
     array_join(
-      transform(sequence(lit(63), lit(0), lit(-1)), j =>
-        when(aggregate(wordHashes, lit(0L),
-          (acc, h) => acc + when(bit_get(h, j) === 1, 1L).otherwise(-1L)) > 0,
-          lit("1")).otherwise(lit("0"))),
-      "")
+      transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
   }
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, Hamming-distance
@@ -131,21 +164,25 @@ object Dedup {
       maxHamming: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simHashBits(col(textCol)).as("sig"))
-    // band b = 16-char slice at position 1 + 16b
-    val banded = sigs.select(col("id"), col("sig"),
+    // band b = 16-char slice at position 1 + 16b; sig referenced 4× so the
+    // signature projection is not inlined (see minHashLshPairs note)
+    val banded = sigs.select(
+      struct(col("id"), col("sig")).as("ds"),
       explode(array((0 until 4).map(bd =>
         concat(lit(s"$bd:"), substring(col("sig"), 1 + bd * 16, 16))): _*)).as("band_key"))
 
-    val capped = banded
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("band_key")))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
-
-    val a = capped.select(col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+    // signatures are 64 chars — cheap enough to carry into the bucket and
+    // verify in place (no join-back needed, unlike MinHash shingle sets)
+    banded
+      .groupBy("band_key").agg(collect_list(col("ds")).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y.getField("id") > x.getField("id")),
+          y => struct(
+            x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hammingBits(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
