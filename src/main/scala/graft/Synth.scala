@@ -55,11 +55,15 @@ object Synth {
     * path. Reading from disk makes N-vs-4N timing measure the pipeline, not
     * the generator.
     */
-  def materialize(spark: SparkSession, n: Long, dir: String, seed: Long = 42L): String = {
-    val path = s"$dir/sequences_n${n}_s$seed"
+  def materialize(spark: SparkSession, n: Long, dir: String, seed: Long = 42L,
+      partitions: Int = 256): String = {
+    // many small partitions → several task waves at every parallelism level,
+    // so stragglers average out and N-vs-4N timing measures compute, not the
+    // slowest task of a single wave
+    val path = s"$dir/sequences_n${n}_s${seed}_p$partitions"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       sequences(spark, n, seed)
-        .repartition(math.max(8, spark.sparkContext.defaultParallelism))
+        .repartition(partitions)
         .write.mode("overwrite").parquet(path)
     }
     path
