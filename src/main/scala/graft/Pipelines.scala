@@ -47,16 +47,30 @@ object Pipelines {
     ).toDF("tag", "sink_name", "team", "priority")
   }
 
+  /** Flagship uses the fused single-expression cascade (TagRewriteExpr) —
+    * one regex pass per row, reused matchers. The pure-Column compilation of
+    * the same rules is kept available for differential testing.
+    */
   def flagshipPlan(df: DataFrame): RoutingPlan =
+    RuleCompiler.compileFused(flagshipRules, flagshipConfig, df.schema, "source")
+
+  def flagshipPlanColumns(df: DataFrame): RoutingPlan =
     RuleCompiler.compile(flagshipRules, flagshipConfig, df.schema, "source")
 
-  /** route → enrich; the full row-level frame before aggregation. */
+  /** route → enrich; the full row-level frame (fan-out write path, where
+    * every emitted row carries its sink attributes).
+    */
   def routedEnriched(spark: SparkSession, df: DataFrame): DataFrame =
     Router.enrich(Router.route(df, flagshipPlan(df)), tagLookup(spark))
 
-  /** Whole pipeline to per-sink counts (driver-checkable aggregate). */
+  /** Whole pipeline to enriched per-sink counts (driver-checkable
+    * aggregate). The dimension joins ABOVE the aggregate — enrichment attrs
+    * are functions of the tag, so this touches #sinks rows, not #input rows
+    * (see [[Router.enrichCounts]]).
+    */
   def flagship(spark: SparkSession, df: DataFrame): DataFrame =
-    Router.sinkCounts(routedEnriched(spark, df))
+    Router.enrichCounts(
+      Router.sinkCounts(Router.route(df, flagshipPlan(df))), tagLookup(spark))
 
   /** Run with metrics observation; returns (per-sink counts collected,
     * emitted/matched/unmatched). Used by benches and the checkpoint runner.
@@ -67,7 +81,8 @@ object Pipelines {
     val obs = Observation()
     val plan = flagshipPlan(df)
     val routed = Router.routeObserved(df, plan, obs)
-    val counts = Router.sinkCounts(Router.enrich(routed, tagLookup(spark))).collect()
+    val counts =
+      Router.enrichCounts(Router.sinkCounts(routed), tagLookup(spark)).collect()
     (counts, obs.get)
   }
 }

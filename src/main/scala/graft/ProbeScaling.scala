@@ -1,24 +1,21 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.SparkSession
 
-/** Scratch diagnostic: which stage limits N→4N scaling? */
+/** Scratch diagnostic: why does the broadcast enrichment join not scale? */
 object ProbeScaling {
   def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "40000000").toLong
     val workDir = "/root/repo/target/scaling"
-    val gen = mk(32)
-    val path = Synth.materialize(gen, rows, workDir)
+    val gen = mk(32, aqe = true)
+    val path64 = Synth.materialize(gen, 64000000L, workDir)
     gen.stop()
 
-    for (k <- Seq(8, 32)) {
-      val spark = mk(k)
-      val df = spark.read.parquet(path)
-      val plan = Pipelines.flagshipPlan(df)
+    for (k <- Seq(32, 8)) {
+      val spark = mk(k, aqe = true)
       val lookup = Pipelines.tagLookup(spark)
 
-      def time(name: String)(f: => Unit): Unit = {
+      def time(name: String, rows: Long)(f: => Unit): Unit = {
         f // warmup
         val ts = (1 to 3).map { _ =>
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -26,26 +23,20 @@ object ProbeScaling {
         println(f"PROBE k=$k $name best=${ts.min}%.3f s thr=${rows / ts.min / 1e6}%.2f M/s")
       }
 
-      time("scan_count")(df.select("source").count())
-      time("scan_rlike")(df.filter(col("source").rlike("^td\\.apache\\..+$")).count())
-      time("route_agg_parquet") {
-        Router.sinkCounts(Router.enrich(Router.route(df, plan), lookup)).collect()
-      }
-      val mem = Synth.sequences(spark, rows).select("doc_id", "source")
-      val planMem = RuleCompiler.compile(
-        Pipelines.flagshipRules, Pipelines.flagshipConfig, mem.schema, "source")
-      time("route_agg_inmem") {
-        Router.sinkCounts(Router.enrich(Router.route(mem, planMem), lookup)).collect()
-      }
+      val df = spark.read.parquet(path64)
+      val plan = Pipelines.flagshipPlan(df)
+      val routed = Router.route(df, plan)
+      time("B_route", 64000000L)(routed.count())
+      time("C_louter", 64000000L)(Router.enrich(routed, lookup).count())
       spark.stop()
     }
   }
 
-  private def mk(cores: Int): SparkSession = {
+  private def mk(cores: Int, aqe: Boolean): SparkSession = {
     val s = SparkSession.builder().master(s"local[$cores]")
       .appName(s"probe-$cores")
       .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -38,22 +38,37 @@ object Router {
     * unchanged) AND no label; a label keeps an unchanged tag alive
     * (relabel); a fired rule always has a non-null tag, but a null one
     * falls back to the original (:100).
+    *
+    * A fused-drop plan already encodes the decision (`tag = null` ⇔ drop),
+    * so the filter is one field access; the CaseWhen plan states the full
+    * predicate over the derived columns.
     */
   def route(df: DataFrame, plan: RoutingPlan): DataFrame = {
-    val orig = col(plan.tagCol)
-    routeRaw(df, plan)
-      .filter((col(NewTag).isNotNull && col(NewTag) =!= orig) ||
-        col(NewLabel).isNotNull)
-      .withColumn(NewTag, coalesce(col(NewTag), orig))
+    if (plan.fusedDrop) {
+      df.withColumn("__routed", plan.routed)
+        .filter(col("__routed.tag").isNotNull)
+        .withColumn(NewTag, col("__routed.tag"))
+        .withColumn(NewLabel, col("__routed.label"))
+        .drop("__routed")
+    } else {
+      val orig = col(plan.tagCol)
+      routeRaw(df, plan)
+        .filter((col(NewTag).isNotNull && col(NewTag) =!= orig) ||
+          col(NewLabel).isNotNull)
+        .withColumn(NewTag, coalesce(col(NewTag), orig))
+    }
   }
 
-  /** Convenience: compile + route. */
+  /** Convenience: compile + route. Uses the fused single-expression cascade
+    * (the engine's production path); `RuleCompiler.compile` remains for the
+    * pure-built-in Column plan, differentially tested against this one.
+    */
   def route(
       df: DataFrame,
       rules: Seq[Rule],
       cfg: RoutingConfig = RoutingConfig(),
       tagCol: String = "source"): DataFrame =
-    route(df, RuleCompiler.compile(rules, cfg, df.schema, tagCol))
+    route(df, RuleCompiler.compileFused(rules, cfg, df.schema, tagCol))
 
   /** Routed-frame metrics via `observe` — emitted/matched/unmatched mirror
     * the reference's drop trace (:97) and the north star's counter triple.
@@ -62,16 +77,29 @@ object Router {
     */
   def routeObserved(df: DataFrame, plan: RoutingPlan,
       observation: org.apache.spark.sql.Observation): DataFrame = {
-    val orig = col(plan.tagCol)
-    val kept = (col(NewTag).isNotNull && col(NewTag) =!= orig) ||
-      col(NewLabel).isNotNull
-    routeRaw(df, plan)
-      .observe(observation,
-        count(lit(1)).as("emitted"),
-        count(when(col(NewTag).isNotNull || col(NewLabel).isNotNull, 1)).as("matched"),
-        count(when(!kept, 1)).as("unmatched"))
-      .filter(kept)
-      .withColumn(NewTag, coalesce(col(NewTag), orig))
+    if (plan.fusedDrop) {
+      // null struct = no rule fired; struct(null,·) = fired but dropped
+      df.withColumn("__routed", plan.routed)
+        .observe(observation,
+          count(lit(1)).as("emitted"),
+          count(when(col("__routed").isNotNull, 1)).as("matched"),
+          count(when(col("__routed.tag").isNull, 1)).as("unmatched"))
+        .filter(col("__routed.tag").isNotNull)
+        .withColumn(NewTag, col("__routed.tag"))
+        .withColumn(NewLabel, col("__routed.label"))
+        .drop("__routed")
+    } else {
+      val orig = col(plan.tagCol)
+      val kept = (col(NewTag).isNotNull && col(NewTag) =!= orig) ||
+        col(NewLabel).isNotNull
+      routeRaw(df, plan)
+        .observe(observation,
+          count(lit(1)).as("emitted"),
+          count(when(col(NewTag).isNotNull || col(NewLabel).isNotNull, 1)).as("matched"),
+          count(when(!kept, 1)).as("unmatched"))
+        .filter(kept)
+        .withColumn(NewTag, coalesce(col(NewTag), orig))
+    }
   }
 
   /** Broadcast lookup enrichment: left join a small tag-keyed dimension on
@@ -83,6 +111,27 @@ object Router {
     routed.join(
       broadcast(lookup.withColumnRenamed(lookupTagCol, NewTag)),
       Seq(NewTag), "left")
+
+  /** Enrich per-sink AGGREGATES with the lookup dimension. When the
+    * enrichment attributes are functions of the routing tag (they are — the
+    * dimension is keyed on it), joining above the aggregate is
+    * plan-equivalent to enriching every row and then grouping, but touches
+    * #sinks rows instead of #input rows. At 10^12 input rows that removes
+    * the dimension join from the per-row path entirely; in-sandbox it is
+    * also what lets the aggregate pipeline scale past the measured
+    * ~11M rows/s single-JVM ceiling of per-row BroadcastHashJoin probing.
+    * Row-level [[enrich]] remains for the fan-out write path, where each
+    * emitted row must carry its sink attributes.
+    */
+  def enrichCounts(sinkCounts: DataFrame, lookup: DataFrame,
+      lookupTagCol: String = "tag"): DataFrame = {
+    val joined = sinkCounts.join(
+      broadcast(lookup.withColumnRenamed(lookupTagCol, "tag")),
+      Seq("tag"), "left")
+    // keep the aggregate's column order (tag first after a USING join)
+    joined.select(sinkCounts.columns.map(col) ++
+      joined.columns.filterNot(sinkCounts.columns.contains).map(col): _*)
+  }
 
   /** Per-sink routed-row counts (R-GRP analog): one row per
     * (label-namespace, tag). Partial+final hash aggregate; the map-side

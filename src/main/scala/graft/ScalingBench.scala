@@ -41,8 +41,8 @@ object ScalingBench {
       def once(): (Double, Long) = {
         val obs = Observation()
         val t0 = System.nanoTime()
-        Router.sinkCounts(
-          Router.enrich(Router.routeObserved(df, plan, obs), lookup)).collect()
+        Router.enrichCounts(
+          Router.sinkCounts(Router.routeObserved(df, plan, obs)), lookup).collect()
         val sec = (System.nanoTime() - t0) / 1e9
         (sec, obs.get("emitted").asInstanceOf[Long])
       }

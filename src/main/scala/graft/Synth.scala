@@ -31,11 +31,14 @@ object Synth {
   val vocabSize = 50257 // GPT-2-ish vocab, arbitrary but fixed
   val maxLen = 64
 
-  /** n deterministic sequence rows. */
-  def sequences(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+  /** n deterministic sequence rows. `partitions > 0` sets the split count at
+    * the range source (same rows regardless — content is keyed on id only).
+    */
+  def sequences(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): DataFrame = {
     val weighted: Seq[String] = tagPool.flatMap { case (t, w) => Seq.fill(w)(t) }
     val pool = array(weighted.map(lit): _*)
-    spark.range(n)
+    (if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n))
       .withColumn("h", abs(xxhash64(col("id"), lit(seed))))
       .select(
         format_string("doc-%012d", col("id")).as("doc_id"),
@@ -62,8 +65,10 @@ object Synth {
     // slowest task of a single wave
     val path = s"$dir/sequences_n${n}_s${seed}_p$partitions"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      sequences(spark, n, seed)
-        .repartition(partitions)
+      // partition count fixed at the range source — a generate-then-
+      // repartition would shuffle the whole dataset (and its spill files
+      // can exceed the sandbox disk budget at 10^8+ rows) for no benefit
+      sequences(spark, n, seed, partitions)
         .write.mode("overwrite").parquet(path)
     }
     path

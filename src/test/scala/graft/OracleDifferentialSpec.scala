@@ -84,10 +84,14 @@ class OracleDifferentialSpec extends AnyFunSuite {
       val df = spark.createDataFrame(
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-      val got = Router.route(df, rules, cfg).collect().map { r =>
-        r.getAs[Int]("rid") ->
-          (r.getAs[String]("new_tag"), Option(r.getAs[String]("new_label")))
-      }.toMap
+      def collectRouted(plan: RuleCompiler.RoutingPlan) =
+        Router.route(df, plan).collect().map { r =>
+          r.getAs[Int]("rid") ->
+            (r.getAs[String]("new_tag"), Option(r.getAs[String]("new_label")))
+        }.toMap
+      val got = collectRouted(RuleCompiler.compile(rules, cfg, schema, "source"))
+      val gotFused =
+        collectRouted(RuleCompiler.compileFused(rules, cfg, schema, "source"))
       val want = recs.zipWithIndex.flatMap { case ((vals, tag), i) =>
         val record: Map[String, Any] =
           cols.zip(vals).collect { case (c, Some(v)) => c -> v }.toMap
@@ -96,6 +100,10 @@ class OracleDifferentialSpec extends AnyFunSuite {
       assert(got == want,
         s"\niter=$iter\nrules=$rules\ncfg=$cfg\nmismatch=${
           recs.zipWithIndex.filter(p => got.get(p._2) != want.get(p._2))}")
+      // fused single-expression cascade ≡ Column cascade ≡ scalar oracle
+      assert(gotFused == want,
+        s"\n[fused] iter=$iter\nrules=$rules\ncfg=$cfg\nmismatch=${
+          recs.zipWithIndex.filter(p => gotFused.get(p._2) != want.get(p._2))}")
     }
   }
 
