@@ -3,6 +3,7 @@ package graft
 import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
+import graft.parse.Grok
 import graft.textops.TextFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -53,6 +54,50 @@ object SparkEntry {
     Rule("lang", "^en$", "${tag}"), // unchanged, unlabeled → dropped
     Rule("lang", "^de$", "${tag}", label = Some("germany")), // relabel keeps it
     Rule("lang", "^(fr|es|zh)$", "kept.$1"))
+
+  // ---- grok parse stage (north rule: "grok/regex parse") ------------------
+
+  /** Deterministic apache-access lines synthesized from the documents table
+    * (both engines build the identical string, then parse it back).
+    */
+  private def apacheLines(s: SparkSession, dir: String): DataFrame =
+    docsTagged(s, dir)
+      .withColumn("status", element_at(
+        array(lit("200"), lit("301"), lit("404"), lit("503"), lit("200")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")))
+      .withColumn("line", concat_ws("",
+        lit("10.0."), pmod(col("doc_id"), lit(256)),
+        lit("."), pmod(col("doc_id") * 7, lit(256)),
+        lit(" - user"), pmod(col("doc_id"), lit(50)),
+        lit(" [10/Oct/2000:13:55:36 -0700] \"GET /"),
+        col("source"), lit("/"), col("doc_id"),
+        lit(" HTTP/1.1\" "), col("status"), lit(" "), col("n_chars")))
+
+  // NOTE: interpolated into SQL strings that call .stripMargin AFTER
+  // substitution — no line here may start with '|' (a leading '||' would
+  // lose one pipe to the outer stripMargin), hence trailing concatenation.
+  private val apacheLinesSql =
+    """(SELECT *,
+      |   '10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+      |   ' - user' || (doc_id % 50) ||
+      |   ' [10/Oct/2000:13:55:36 -0700] "GET /' || source || '/' || doc_id ||
+      |   ' HTTP/1.1" ' || (['200','301','404','503','200'])[(doc_id % 5) + 1] ||
+      |   ' ' || n_chars AS line,
+      |   'input.' || lang || '.' || source AS tag0
+      | FROM documents)""".stripMargin
+
+  private val apacheGrok = Grok.compile("%{COMMONAPACHELOG}")
+
+  /** 1-based capture-group index of a COMMONAPACHELOG field (same regex runs
+    * in Spark and in the DuckDB oracle — RE2-safe by construction).
+    */
+  private def grokGroup(f: String): Int =
+    apacheGrok.groupIdx(apacheGrok.fields.indexOf(f))
+
+  private val grokRouteRules = Seq(
+    Rule("response", "^5\\d\\d$", "alert.${tag_parts[0]}.err"),
+    Rule("response", "^404$", "missing.${tag_parts[1]}"),
+    Rule("response", "^(\\d+)$", "ok.$1"))
 
   // ---- queries ------------------------------------------------------------
 
@@ -208,6 +253,21 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) => {
       Ann.cosineNearDupPairs(emb(s, dir), thresholdPpm = 300000L, numPlanes = 4)
         .select(col("id_a"), col("id_b"))
+    }),
+
+    // grok parse: one-pass field extraction from apache access lines
+    "q_grok_parse" -> ((s, dir) => {
+      Grok.parse(apacheLines(s, dir), "line", "%{COMMONAPACHELOG}")
+        .select(col("doc_id"), col("clientip"), col("verb"),
+          col("request"), col("response"))
+    }),
+
+    // grok parse → rule route: the reference's apache status pipeline
+    // (example.conf:8-30 shape) end to end
+    "q_grok_route" -> ((s, dir) => {
+      val parsed = Grok.parse(apacheLines(s, dir), "line", "%{COMMONAPACHELOG}")
+      Router.route(parsed, grokRouteRules, RoutingConfig(), "tag0")
+        .select(col("doc_id"), col("new_tag"))
     }),
 
     // multimodal: binary payload metadata (oracle-mirrorable subset)
@@ -438,6 +498,34 @@ object SparkEntry {
         |        DESC, c.vec_id ASC) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
         |) WHERE rank <= 10""".stripMargin,
+
+    "q_grok_parse" -> {
+      def x(f: String) =
+        s"regexp_extract(line, '${apacheGrok.pattern}', ${grokGroup(f)})"
+      // DuckDB regexp_extract caps the group index at 9, so `bytes`
+      // (group 10) is exercised by GrokSpec, not the oracle
+      s"""SELECT doc_id, ${x("clientip")} AS clientip, ${x("verb")} AS verb,
+         |  ${x("request")} AS request, ${x("response")} AS response
+         |FROM $apacheLinesSql""".stripMargin
+    },
+
+    "q_grok_route" ->
+      s"""SELECT doc_id, new_tag FROM (
+         |  SELECT doc_id, tag0,
+         |    CASE
+         |      WHEN coalesce(resp,'') <> '' AND regexp_matches(resp, '^5\\d\\d$$')
+         |        THEN 'alert.' || split_part(tag0, '.', 1) || '.err'
+         |      WHEN coalesce(resp,'') <> '' AND regexp_matches(resp, '^404$$')
+         |        THEN 'missing.' || split_part(tag0, '.', 2)
+         |      WHEN coalesce(resp,'') <> '' AND regexp_matches(resp, '^(\\d+)$$')
+         |        THEN 'ok.' || regexp_extract(resp, '^(\\d+)$$', 1)
+         |    END AS new_tag
+         |  FROM (
+         |    SELECT doc_id, tag0,
+         |      regexp_extract(line, '${apacheGrok.pattern}', ${grokGroup("response")}) AS resp
+         |    FROM $apacheLinesSql
+         |  )
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,148 @@
+package graft.parse
+
+import java.util.regex.Pattern
+
+import graft.RuleConfigError
+import graft.expressions.{CompiledGrok, GrokExtractExpr}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+/** Grok-pattern parse stage (north rule: "grok/regex parse"). The reference
+  * pipeline's events arrive pre-parsed by Fluentd input plugins — its
+  * canonical config tails an apache access log through `format apache2`
+  * (/root/reference/example.conf:8-18) and then routes on the parsed fields
+  * (`message`, `status`, `agent`). This module supplies that parse stage
+  * Spark-natively: a `%{NAME:field}` grok expression compiles once on the
+  * driver to a single Java/RE2-compatible regex, evaluated one-pass-per-row
+  * by [[GrokExtractExpr]].
+  *
+  * Pattern definitions follow the public logstash grok dictionary
+  * (grok syntax `%{SYNTAX:SEMANTIC}`); only RE2-safe constructs are used
+  * (no lookaround, no backreferences) so the same expanded regex runs
+  * unchanged in the DuckDB oracle.
+  */
+object Grok {
+
+  /** RE2-safe subset of the standard grok dictionary. */
+  val patterns: Map[String, String] = Map(
+    "INT" -> "(?:[+-]?(?:[0-9]+))",
+    "BASE10NUM" -> "(?:[+-]?(?:[0-9]+(?:\\.[0-9]+)?)|\\.[0-9]+)",
+    "NUMBER" -> "(?:%{BASE10NUM})",
+    "WORD" -> "\\b\\w+\\b",
+    "NOTSPACE" -> "\\S+",
+    "SPACE" -> "\\s*",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "QUOTEDSTRING" -> "\"[^\"]*\"",
+    "USERNAME" -> "[a-zA-Z0-9._-]+",
+    "USER" -> "%{USERNAME}",
+    "IPV4" -> "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "IP" -> "%{IPV4}",
+    "HOSTNAME" -> "\\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\\.?\\b",
+    "IPORHOST" -> "(?:%{IP}|%{HOSTNAME})",
+    "MONTH" -> "\\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\\b",
+    "MONTHDAY" -> "(?:3[01]|[1-2][0-9]|0?[1-9])",
+    "YEAR" -> "(?:\\d\\d){1,2}",
+    "HOUR" -> "(?:2[0123]|[01]?[0-9])",
+    "MINUTE" -> "(?:[0-5][0-9])",
+    "SECOND" -> "(?:[0-5][0-9])",
+    "TIME" -> "%{HOUR}:%{MINUTE}:%{SECOND}",
+    "HTTPDATE" -> "%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "TIMESTAMP_ISO8601" ->
+      "%{YEAR}-(?:0[1-9]|1[0-2])-%{MONTHDAY}[T ]%{HOUR}:%{MINUTE}(?::%{SECOND})?(?:Z|[+-]%{HOUR}:?%{MINUTE})?",
+    "LOGLEVEL" ->
+      "(?:[Tt]race|TRACE|[Dd]ebug|DEBUG|[Ii]nfo|INFO|[Nn]otice|NOTICE|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL)",
+    // the apache2 access-log format the reference's example config parses
+    "COMMONAPACHELOG" ->
+      ("%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \\[%{HTTPDATE:timestamp}\\] " +
+        "\"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" " +
+        "%{NUMBER:response} (?:%{NUMBER:bytes}|-)"))
+
+  private val grokRef = Pattern.compile("""%\{(\w+)(?::(\w+))?\}""")
+
+  /** Expand a grok expression to (regex, fields, 1-based group index per
+    * field). Named refs `%{NAME:field}` become capturing groups; bare refs
+    * `%{NAME}` and all groups inside dictionary patterns are rewritten
+    * non-capturing, so each field's group index is stable.
+    */
+  def compile(expr: String, maxDepth: Int = 16): CompiledGrok = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var groupCount = 0
+
+    def expand(s: String, depth: Int): String = {
+      if (depth > maxDepth)
+        throw new RuleConfigError(s"grok recursion deeper than $maxDepth: $expr")
+      val m = grokRef.matcher(s)
+      val sb = new StringBuilder
+      var pos = 0
+      while (m.find()) {
+        sb.append(neutralize(s.substring(pos, m.start())))
+        val name = m.group(1)
+        val field = m.group(2)
+        val body = patterns.getOrElse(name,
+          throw new RuleConfigError(s"unknown grok pattern %{$name} in: $expr"))
+        if (field != null) {
+          // named refs capture at ANY depth (composite dictionary patterns
+          // like COMMONAPACHELOG carry their own %{NAME:field} refs)
+          groupCount += 1
+          fields += field
+          groups += groupCount
+          sb.append("(").append(expand(body, depth + 1)).append(")")
+        } else {
+          sb.append("(?:").append(expand(body, depth + 1)).append(")")
+        }
+        pos = m.end()
+      }
+      sb.append(neutralize(s.substring(pos)))
+      sb.toString
+    }
+
+    // rewrite every bare capturing '(' to '(?:' — %{NAME:field} refs are the
+    // ONLY capturing groups, so each field's group index is stable no matter
+    // how many parens the dictionary bodies or the user expression contain
+    def neutralize(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) { sb.append(c).append(s.charAt(i + 1)); i += 2 }
+        else if (c == '(' &&
+          (i + 1 >= s.length || s.charAt(i + 1) != '?')) { sb.append("(?:"); i += 1 }
+        else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+    val regex = expand(expr, 0)
+    try Pattern.compile(regex)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw new RuleConfigError(
+          s"grok expression expands to an invalid regex: ${e.getMessage}")
+    }
+    if (fields.isEmpty)
+      throw new RuleConfigError(s"grok expression captures no fields: $expr")
+    val dup = fields.diff(fields.distinct)
+    if (dup.nonEmpty)
+      throw new RuleConfigError(s"duplicate grok field names: ${dup.mkString(",")}")
+    CompiledGrok(regex, fields.toArray, groups.toArray)
+  }
+
+  /** One-pass extraction column: `struct<field1, ..., fieldN>`, null when
+    * the line does not match.
+    */
+  def extract(line: Column, expr: String): Column =
+    ColumnBridge.column(GrokExtractExpr(ColumnBridge.expression(line), compile(expr)))
+
+  /** Parse stage: add every grok field of `expr` as a string column. Rows
+    * that do not match keep null fields (filter on them to drop).
+    */
+  def parse(df: DataFrame, inputCol: String, expr: String): DataFrame = {
+    val g = compile(expr)
+    val parsed = df.withColumn("__grok", extract(col(inputCol), expr))
+    g.fields.foldLeft(parsed)((d, f) => d.withColumn(f, col(s"__grok.$f")))
+      .drop("__grok")
+  }
+}
