@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb one-time session costs (JIT, codegen compiler, parquet reader
+    // init) so the first timed query is not charged for JVM warmup
+    try {
+      import org.apache.spark.sql.functions._
+      spark.range(1000)
+        .filter(col("id").cast("string").rlike("[0-9]"))
+        .groupBy(col("id") % 7).count().collect()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

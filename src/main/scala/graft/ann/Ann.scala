@@ -16,13 +16,22 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    inside the bucket. The scale path: bucket count grows 2^P, the
   *    corpus shuffles once by bucket and queries probe only their bucket.
   *
-  * All dot products run in double via `zip_with` + `aggregate` — built-in,
-  * codegen'd, no UDF.
+  * All dot products run in double through the one-pass codegen'd
+  * [[graft.expressions.DotDouble]] expression (higher-order functions run
+  * interpreted and allocate a zipped array per pair — measurably the hot
+  * spot of the pair joins); [[dotSql]] keeps the built-in formulation as
+  * the bit-identical differential oracle. No UDFs anywhere.
   */
 object Ann {
 
-  /** Sum of elementwise products, in double. */
+  /** Sum of elementwise products, in double (one-pass expression). */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.DotDouble(a, b)
+
+  /** Built-in `zip_with`+`aggregate` formulation of [[dot]] — the semantics
+    * definition and differential oracle (same IEEE summation order).
+    */
+  def dotSql(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

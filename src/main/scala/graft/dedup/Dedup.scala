@@ -46,14 +46,22 @@ object Dedup {
     * j-th function is xxhash64 re-seeded by j (no a*x+b mod p arithmetic →
     * no ANSI overflow).
     *
-    * Evaluation shape matters at scale: a naive
-    * `transform(0..n, j -> array_min(transform(hashes, ...)))` re-evaluates
-    * the shingle-hash subtree once per hash function (n× the work — it
-    * showed up as a 20× slowdown in the bench). This form is ONE
-    * `aggregate` pass over the shingles with an n-wide array accumulator:
-    * each shingle is hashed n ways exactly once.
+    * Production form: the codegen'd [[graft.expressions.MinHashSig]]
+    * expression (one tight loop per row). The SQL-lambda formulation below
+    * is bit-identical (differential-tested) but runs interpreted — Catalyst
+    * does not codegen higher-order functions — and benched ~10× slower.
     */
   def minHashFromHashes(shingleHashes: Column, numHashes: Int): Column =
+    graft.expressions.MinHashSig(shingleHashes, numHashes)
+
+  /** Pure-built-in (SQL-lambda) formulation of [[minHashFromHashes]]: ONE
+    * `aggregate` pass over the shingles with an n-wide array accumulator —
+    * each shingle is hashed n ways exactly once. (The naive
+    * `transform(0..n, j -> array_min(transform(hashes, ...)))` re-evaluates
+    * the shingle-hash subtree once per hash function: n× the work, a 20×
+    * bench slowdown.) Kept as the differential oracle for MinHashSig.
+    */
+  def minHashFromHashesSql(shingleHashes: Column, numHashes: Int): Column =
     aggregate(
       shingleHashes,
       array_repeat(lit(Long.MaxValue), numHashes),
@@ -90,11 +98,14 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
 
-    // distinct shingle-hash set per doc (also the exact-verify input)
+    // distinct shingle-hash set per doc (also the exact-verify input) —
+    // computed three times per doc (signature + both verify-join sides), so
+    // it uses the one-pass codegen'd ShingleHashes expression rather than
+    // the interpreted shingle→hash→distinct lambda chain (differential-
+    // tested equal in SketchExprSpec)
     val withSets = df.select(
       col(idCol).as("id"),
-      array_distinct(transform(
-        TextFunctions.shingles(col(textCol), shingleSize), s => xxhash64(s))).as("sh"))
+      graft.expressions.ShingleHashes(col(textCol), shingleSize).as("sh"))
 
     // Two-step projection so the signature materializes once per row: the
     // band array references `mh` `bands` times, which stops CollapseProject
@@ -128,19 +139,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_ppm")
   }
 
-  /** Exact Jaccard (ppm) of two pre-distinct arrays. */
+  /** Exact Jaccard (ppm) of two arrays (distinct-set semantics). Production
+    * form: the one-pass codegen'd [[graft.expressions.JaccardPpmExpr]];
+    * [[jaccardPpmSql]] is the built-in differential oracle.
+    */
   def jaccardPpm(a: Column, b: Column): Column =
+    graft.expressions.JaccardPpmExpr(a, b)
+
+  /** Pure-built-in formulation of [[jaccardPpm]] (two intermediate arrays
+    * per pair) — the semantics definition and differential oracle.
+    */
+  def jaccardPpmSql(a: Column, b: Column): Column =
     TextFunctions.ppm(size(array_intersect(a, b)), size(array_union(a, b)))
 
   /** 64-bit SimHash as a 64-char '0'/'1' string (string form avoids signed
     * long-overflow issues under ANSI and makes banding trivial). Bit j is 1
     * iff the sum over word hashes of ±1 (by that hash's bit j) is positive.
-    *
-    * Single `aggregate` pass with a 64-wide counter array — each word is
-    * hashed once (the transposed form would hash every word 64 times).
     * Counter order is MSB-first (bit 63 → position 0 of the string).
+    *
+    * Production form: the codegen'd [[graft.expressions.SimHashBits]]
+    * expression; [[simHashBitsSql]] is the bit-identical SQL-lambda
+    * differential oracle.
     */
-  def simHashBits(text: Column): Column = {
+  def simHashBits(text: Column): Column =
+    graft.expressions.SimHashBits(graft.expressions.WordHashes(text))
+
+  /** Pure-built-in formulation of [[simHashBits]]: single `aggregate` pass
+    * with a 64-wide counter array — each word is hashed once (the transposed
+    * form would hash every word 64 times). Interpreted (higher-order
+    * functions don't codegen); kept as the differential oracle.
+    */
+  def simHashBitsSql(text: Column): Column = {
     val wordHashes = transform(TextFunctions.words(text), w => xxhash64(w))
     val counts = aggregate(
       wordHashes,
@@ -189,8 +218,14 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Hamming distance between two equal-length bitstrings. */
+  /** Hamming distance between two equal-length bitstrings (one-pass
+    * codegen'd expression; [[hammingBitsSql]] is the differential oracle).
+    */
   def hammingBits(a: Column, b: Column): Column =
+    graft.expressions.HammingDist(a, b)
+
+  /** Pure-built-in formulation of [[hammingBits]]. */
+  def hammingBitsSql(a: Column, b: Column): Column =
     aggregate(
       zip_with(split(a, ""), split(b, ""),
         (x, y) => when(x === y, 0).otherwise(1)),

@@ -1,0 +1,151 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.textops.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd sketch expressions must be bit-identical to their
+  * SQL-lambda formulations (which in turn define the semantics — pure Spark
+  * built-ins). Also pins the xxhash64 replication: Spark's
+  * `xxhash64(h: long, j: int)` ≡ XXH64.hashInt(j, XXH64.hashLong(h, 42)).
+  */
+class SketchExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog", // exact dup
+    "the quick brown fox leaps over the lazy dog", // near dup
+    "completely different content with unique words here",
+    "short",
+    "",
+    "  spaced   out   tokens  ",
+    "unicode: žluťoučký kůň úpěl ďábelské ódy",
+    (1 to 200).map(i => s"w$i").mkString(" ") // long doc
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("xxhash64(long, int) replication via XXH64") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val rows = Seq((123456789L, 0), (-987654321L, 7), (0L, 31))
+      .toDF("h", "j")
+      .select(col("h"), col("j"), xxhash64(col("h"), col("j")).as("spark_hash"))
+      .collect()
+    rows.foreach { r =>
+      val expect = XXH64.hashInt(r.getInt(1), XXH64.hashLong(r.getLong(0), 42L))
+      assert(r.getLong(2) == expect, s"h=${r.getLong(0)} j=${r.getInt(1)}")
+    }
+  }
+
+  test("MinHashSig ≡ SQL-lambda minhash, every row, several widths") {
+    val df = texts.toDF("id", "text").withColumn("sh",
+      array_distinct(transform(TextFunctions.shingles(col("text"), 3),
+        s => xxhash64(s))))
+    for (n <- Seq(1, 8, 32)) {
+      val out = df.select(
+        Dedup.minHashFromHashes(col("sh"), n).as("fast"),
+        Dedup.minHashFromHashesSql(col("sh"), n).as("ref")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n")
+      }
+    }
+  }
+
+  test("ShingleHashes ≡ distinct(xxhash64(shingles)) lambda, every row") {
+    val df = texts.toDF("id", "text")
+    for (n <- Seq(1, 3, 5)) {
+      val out = df.select(
+        graft.expressions.ShingleHashes(col("text"), n).as("fast"),
+        array_distinct(transform(TextFunctions.shingles(col("text"), n),
+          s => xxhash64(s))).as("ref")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n id row mismatch: ${r.getSeq[Long](0).take(5)} vs ${r.getSeq[Long](1).take(5)}")
+      }
+    }
+  }
+
+  test("JaccardPpmExpr ≡ built-in intersect/union ppm (strings and longs)") {
+    val pairs = Seq(
+      ("a b c d", "a b c d"),
+      ("a b c d", "c d e f"),
+      ("a b c d", "x y z"),
+      ("a a a b", "a b b c"), // duplicates must collapse
+      ("", "a b"),
+      ("", ""))
+    val df = pairs.zipWithIndex.map { case ((x, y), i) => (i, x, y) }
+      .toDF("id", "ta", "tb")
+      .withColumn("wa", array_distinct(TextFunctions.words(col("ta"))))
+      .withColumn("wb", split(col("tb"), " ")) // NOT distinct: dup handling
+    val out = df.select(
+      Dedup.jaccardPpm(col("wa"), col("wb")).as("fast"),
+      Dedup.jaccardPpmSql(col("wa"), col("wb")).as("ref")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // long arrays (the minhash verify path)
+    val dfl = texts.toDF("id", "text")
+      .withColumn("sh", graft.expressions.ShingleHashes(col("text"), 3))
+    val cross = dfl.as("x").crossJoin(dfl.select(col("sh").as("sh2")).as("y"))
+    val outL = cross.select(
+      Dedup.jaccardPpm(col("sh"), col("sh2")).as("fast"),
+      Dedup.jaccardPpmSql(col("sh"), col("sh2")).as("ref")).collect()
+    outL.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("WordHashes ≡ transform(words, xxhash64); DotDouble ≡ zip_with fold") {
+    import graft.expressions.{DotDouble, WordHashes}
+    val wh = texts.toDF("id", "text").select(
+      WordHashes(col("text")).as("fast"),
+      transform(TextFunctions.words(col("text")), w => xxhash64(w)).as("ref"))
+      .collect()
+    wh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, -3.5f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+      (Array(1e30f, -1e30f, 1.0f), Array(1e30f, 1e30f, 1.0f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+    val dots = vecs.select(
+      DotDouble(col("a"), col("b")).as("fast"),
+      graft.ann.Ann.dotSql(col("a"), col("b")).as("ref")).collect()
+    dots.foreach { r =>
+      // bit-exact (same IEEE order), incl. the catastrophic-cancellation row
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // mixed float × double-literal planes (the bucketKey path)
+    val planeDots = vecs.select(
+      DotDouble(col("a"), array(lit(0.25), lit(-0.5), lit(0.125))).as("fast"),
+      graft.ann.Ann.dotSql(col("a"), array(lit(0.25), lit(-0.5), lit(0.125))).as("ref"))
+      .collect()
+    planeDots.foreach { r =>
+      val bothNull = r.isNullAt(0) && r.isNullAt(1) // length-mismatch row
+      assert(bothNull || java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("HammingDist ≡ built-in zip_with form, incl. unequal lengths") {
+    val df = Seq(
+      ("0101", "0101"), ("0101", "1010"), ("0101", "0111"),
+      ("0101", "01"), ("", "11"), ("", "")).toDF("a", "b")
+    val out = df.select(
+      Dedup.hammingBits(col("a"), col("b")).as("fast"),
+      Dedup.hammingBitsSql(col("a"), col("b")).as("ref")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("SimHashBits ≡ SQL-lambda simhash, every row") {
+    val out = texts.toDF("id", "text").select(
+      Dedup.simHashBits(col("text")).as("fast"),
+      Dedup.simHashBitsSql(col("text")).as("ref")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // sanity: near-dup texts land at small Hamming distance, distinct far
+    val sigs = texts.toDF("id", "text")
+      .select(Dedup.simHashBits(col("text"))).collect().map(_.getString(0))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sigs(0), sigs(1)) == 0)
+    assert(ham(sigs(0), sigs(2)) < ham(sigs(0), sigs(3)))
+  }
+}
