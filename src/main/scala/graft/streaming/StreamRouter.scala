@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.{Router, Rule, RoutingConfig, RuleCompiler}
+import graft.RuleCompiler.RoutingPlan
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming face of the rule-routing engine.
+  *
+  * The reference is itself a streaming re-router (Fluentd output plugin,
+  * chunk-at-a-time, no event-time state — out_rewrite_tag_filter.rb:90-115),
+  * so the streaming surface comes for free by construction: the compiled
+  * routing plan is a STATELESS row transformation (one fused expression +
+  * one filter), legal in any streaming plan. The north rule fixes the
+  * flagship as batch (resume via per-partition checkpoints, Checkpoint.scala),
+  * but a user of the reference switching to this library keeps a streaming
+  * path:
+  *
+  *  - `route` — readStream → parse/route → rows with (new_tag, new_label),
+  *    append mode, no state, no watermark (time is pass-through in the
+  *    reference too);
+  *  - `sinkCountsQuery` — running per-sink counts (complete/update mode
+  *    stateful aggregation), the streaming analog of the per-sink count
+  *    aggregate;
+  *  - `writeFanOut` — append-mode file sink partitioned by
+  *    (label-namespace, tag): one directory per sink, exactly-once via the
+  *    streaming checkpoint — the streaming analog of the batch fan-out.
+  */
+object StreamRouter {
+
+  /** Apply a compiled plan to a STREAMING DataFrame. Identical semantics to
+    * the batch `Router.route` (same plan object, same expression).
+    */
+  def route(stream: DataFrame, plan: RoutingPlan): DataFrame =
+    Router.route(stream, plan)
+
+  /** Compile + route (fused cascade, like the batch convenience). */
+  def route(
+      stream: DataFrame,
+      rules: Seq[Rule],
+      cfg: RoutingConfig = RoutingConfig(),
+      tagCol: String = "source"): DataFrame =
+    route(stream, RuleCompiler.compileFused(rules, cfg, stream.schema, tagCol))
+
+  /** Running per-sink counts over a routed stream (update-mode compatible
+    * aggregation): one row per (label-namespace, tag), monotone counts.
+    */
+  def sinkCounts(routed: DataFrame): DataFrame =
+    Router.sinkCounts(routed)
+
+  /** Fan-out file sink: append mode, one directory per (label_ns, tag),
+    * exactly-once through the streaming commit log at `checkpointDir`.
+    */
+  def writeFanOut(
+      routed: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    routed
+      .withColumn("new_label_ns",
+        coalesce(col(Router.NewLabel), lit(Router.DefaultLabel)))
+      .drop(Router.NewLabel)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("new_label_ns", Router.NewTag)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.StreamRouter
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming face must route exactly like batch: same plan object, same
+  * per-row results, per-sink counts equal to the batch aggregate, and the
+  * fan-out file sink laying out one directory per (label_ns, tag).
+  */
+class StreamRouterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rules = Seq(
+    Rule("source", "^td\\.(\\w+)\\.access$", "site.$1"),
+    Rule("source", "^metrics\\.", "${tag}"), // unchanged → dropped
+    Rule("source", "^$", "other.${tag_parts[0]}", invert = true))
+
+  private def rows = Seq(
+    ("d1", "td.apache.access"),
+    ("d2", "td.nginx.access"),
+    ("d3", "metrics.node.cpu"), // dropped
+    ("d4", "game.production.api"),
+    ("d5", "td.apache.access"))
+
+  test("streaming route ≡ batch route, row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF.toDF("doc_id", "source")
+    val routed = StreamRouter.route(stream, rules)
+    mem.addData(rows: _*) // before start: AvailableNow snapshots offsets
+    val q = routed.writeStream.format("memory").queryName("routed_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("routed_stream")
+      .select("doc_id", "new_tag").as[(String, String)].collect().toSet
+    val batch = Router.route(rows.toDF("doc_id", "source"), rules)
+      .select("doc_id", "new_tag").as[(String, String)].collect().toSet
+    assert(got == batch)
+    assert(got == Set(
+      ("d1", "site.apache"), ("d2", "site.nginx"),
+      ("d4", "other.game"), ("d5", "site.apache")))
+  }
+
+  test("streaming per-sink counts converge to the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val routed = StreamRouter.route(mem.toDF.toDF("doc_id", "source"), rules)
+    mem.addData(rows: _*)
+    val q = StreamRouter.sinkCounts(routed)
+      .writeStream.format("memory").queryName("sink_counts_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sink_counts_stream")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("@default", "site.apache", 2L),
+      ("@default", "site.nginx", 1L),
+      ("@default", "other.game", 1L)))
+  }
+
+  test("streaming fan-out write: one directory per sink, exactly-once layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[(String, String)]
+    val routed = StreamRouter.route(mem.toDF.toDF("doc_id", "source"), rules)
+    mem.addData(rows: _*)
+    val q = StreamRouter
+      .writeFanOut(routed, s"$dir/data", s"$dir/ckpt", Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.read.parquet(s"$dir/data")
+    val sinks = out.select("new_label_ns", "new_tag").distinct()
+      .as[(String, String)].collect().toSet
+    assert(sinks == Set(
+      ("@default", "site.apache"), ("@default", "site.nginx"),
+      ("@default", "other.game")))
+    assert(out.count() == 4)
+    val apacheDir = new java.io.File(s"$dir/data/new_label_ns=@default/new_tag=site.apache")
+    assert(apacheDir.isDirectory)
+  }
+}
