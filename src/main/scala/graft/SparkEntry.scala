@@ -28,11 +28,13 @@ object SparkEntry {
 
   // ---- shared input shaping -----------------------------------------------
 
+  // reads go through the TableIO abstraction (ParquetIO in-sandbox;
+  // IcebergIO on clusters with the runtime jar — SURVEY.md §7.6)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.ParquetIO.read(s, s"$dir/documents.parquet")
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.ParquetIO.read(s, s"$dir/embeddings.parquet")
 
   /** documents + dot-separated routing tag `tag0` = input.<lang>.<source>. */
   private def docsTagged(s: SparkSession, dir: String): DataFrame =

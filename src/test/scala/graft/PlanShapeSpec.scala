@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Test-enforced physical-plan shape — the 100 TB scale claims from
+  * README/SURVEY as assertions, so a regression that silently de-optimizes
+  * the plan (extra shuffle, lost column pruning, interpreted fallback)
+  * fails CI rather than only showing up in a bench:
+  *
+  *  1. column pruning reaches the scan: routing+counts over the sequence
+  *     table reads ONLY `source` (never `tokens`);
+  *  2. the whole flagship aggregate pipeline has exactly ONE shuffle (the
+  *     partial→final count exchange) and ONE broadcast (the dimension);
+  *  3. the rule cascade runs inside WholeStageCodegen;
+  *  4. aggregation is partial+final (map-side combine), so only one row per
+  *     sink per task crosses the wire.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def materializedInput(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_planshape").toString
+    Synth.sequences(spark, 2000L).write.parquet(s"$dir/seq")
+    s"$dir/seq"
+  }
+
+  /** Execute, then collect the final adaptive plan's nodes. */
+  private def executedNodes(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+    df.collect() // finalize AQE
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => q +: expand(q.plan) // AQE stage boundary
+      case other =>
+        (other +: other.children.flatMap(expand)) ++ other.subqueries.flatMap(expand)
+    }
+    expand(df.queryExecution.executedPlan)
+  }
+
+  test("scan pruning: flagship aggregate reads only `source` from parquet") {
+    val df = spark.read.parquet(materializedInput())
+    val full = Pipelines.flagship(spark, df)
+    val scanStr = executedNodes(full)
+      .filter(_.nodeName.toLowerCase.contains("scan")).map(_.toString).mkString("\n")
+    assert(scanStr.contains("ReadSchema: struct<source:string>"),
+      s"expected tokens/doc_id pruned from the scan:\n$scanStr")
+  }
+
+  test("one shuffle (count agg) + one broadcast (dimension), cascade codegen'd") {
+    val df = spark.read.parquet(materializedInput())
+    val full = Pipelines.flagship(spark, df)
+    val nodes = executedNodes(full)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    val broadcasts = nodes.collect { case b: BroadcastExchangeLike => b }
+    assert(shuffles.length == 1,
+      s"expected exactly 1 shuffle, got ${shuffles.length}:\n${full.queryExecution.executedPlan}")
+    assert(broadcasts.length == 1,
+      s"expected exactly 1 broadcast, got ${broadcasts.length}")
+    // partial+final hash aggregation (map-side combine before the shuffle)
+    val aggs = nodes.filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.length >= 2, s"expected partial+final HashAggregate, got:\n$nodes")
+    // the fused cascade lives inside a WholeStageCodegen stage (plan strings
+    // print those as a `*(n)` prefix, so check node types, not text)
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]))
+    val route = Router.route(df, Pipelines.flagshipPlan(df))
+      .select(col("new_tag"))
+    val routeNodes = executedNodes(route)
+    val codegenStages = routeNodes.collect { case w: WholeStageCodegenExec => w }
+    assert(codegenStages.nonEmpty &&
+      codegenStages.exists(_.toString.contains("tag_rewrite")),
+      s"route stage not codegen'd:\n${route.queryExecution.executedPlan}")
+  }
+
+  test("row-level route is shuffle-free (narrow map pipeline)") {
+    val df = spark.read.parquet(materializedInput())
+    val routed = Router.route(df, Pipelines.flagshipPlan(df))
+    val shuffles = executedNodes(routed).collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty,
+      s"routing must be a narrow pipeline:\n${routed.queryExecution.executedPlan}")
+  }
+}
