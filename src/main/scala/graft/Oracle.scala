@@ -27,7 +27,7 @@ object Oracle {
       val value = accessAsString(record, rule.key)
       // R-EMPTY (:120): empty value skips non-inverted rules only.
       if (!(value.isEmpty && !rule.invert)) {
-        val m = Pattern.compile(rule.pattern).matcher(value)
+        val m = Pattern.compile(rule.normalizedPattern).matcher(value)
         val found = m.find() // Ruby Regexp#match = unanchored search
         if (rule.invert) {
           if (!found)
@@ -61,7 +61,7 @@ object Oracle {
         Pattern.compile("^" + Pattern.quote(p) + "\\.?")
           .matcher(tag).replaceFirst("")
       case (_, Some(re)) =>
-        Pattern.compile(re).matcher(tag).replaceFirst("")
+        Pattern.compile(Rule.normalizePattern(re)).matcher(tag).replaceFirst("")
       case _ => tag
     }
 

@@ -55,8 +55,9 @@ object RuleCompiler {
 
     val branches = rules.map { rule =>
       val v = KeyPath.resolve(rule.key, schema)
+      val pat = rule.normalizedPattern // accepts /re/ and bare forms (:24)
       val groupCount =
-        try Pattern.compile(rule.pattern).matcher("").groupCount()
+        try Pattern.compile(pat).matcher("").groupCount()
         catch {
           case e: PatternSyntaxException =>
             throw new RuleConfigError(
@@ -65,9 +66,9 @@ object RuleCompiler {
       // Empty-value skip (R-EMPTY, :120): normal rules require a non-empty
       // value; inverted rules evaluate even on "" (missing field included).
       val cond =
-        if (rule.invert) !v.rlike(rule.pattern)
-        else length(v) > 0 && v.rlike(rule.pattern)
-      val tagExpr = renderTemplate(rule, v, groupCount, stripped, cfg)
+        if (rule.invert) !v.rlike(pat)
+        else length(v) > 0 && v.rlike(pat)
+      val tagExpr = renderTemplate(rule, pat, v, groupCount, stripped, cfg)
       val labelExpr =
         rule.label.map(lit).getOrElse(lit(null).cast(StringType))
       (cond, struct(tagExpr.as("tag"), labelExpr.as("label")))
@@ -99,19 +100,20 @@ object RuleCompiler {
     val keys = rules.map(_.key).distinct
     val keyIdx = keys.zipWithIndex.toMap
     val fused = rules.map { r =>
+      val pat = r.normalizedPattern
       val groupCount =
-        try Pattern.compile(r.pattern).matcher("").groupCount()
+        try Pattern.compile(pat).matcher("").groupCount()
         catch {
           case e: PatternSyntaxException =>
             throw new RuleConfigError(
               s"rule pattern is not a valid Java regex: ${r.pattern} (${e.getMessage})")
         }
-      FusedRule(keyIdx(r.key) + 1, r.pattern, r.invert, r.label.orNull,
+      FusedRule(keyIdx(r.key) + 1, pat, r.invert, r.label.orNull,
         TemplateParser.parse(r.tag).toArray, groupCount)
     }
     val stripRegex = (cfg.removeTagPrefix, cfg.removeTagRegexp) match {
       case (Some(p), _)  => "^" + Pattern.quote(p) + "\\.?"
-      case (_, Some(re)) => re
+      case (_, Some(re)) => Rule.normalizePattern(re) // regexp_type form (:14)
       case _             => null
     }
     val table =
@@ -136,7 +138,7 @@ object RuleCompiler {
       case (Some(p), _) =>
         // prefix compiled to /^<escaped>\.?/ (:69-71): strips "p" and "p."
         RegexpReplaceFirst(base, "^" + Pattern.quote(p) + "\\.?", "")
-      case (_, Some(re)) => RegexpReplaceFirst(base, re, "")
+      case (_, Some(re)) => RegexpReplaceFirst(base, Rule.normalizePattern(re), "")
       case _             => base
     }
   }
@@ -149,6 +151,7 @@ object RuleCompiler {
     */
   private def renderTemplate(
       rule: Rule,
+      pat: String,
       value: Column,
       groupCount: Int,
       stripped: Column,
@@ -160,7 +163,7 @@ object RuleCompiler {
         if (rule.invert) lit("$" + n) // inverted rules keep $n literal (:122-124)
         else if (n == 0 || n > groupCount) lit("") // absent key in gsub table → ""
         else {
-          val c = regexp_extract(value, rule.pattern, n)
+          val c = regexp_extract(value, pat, n)
           if (cfg.capitalizeRegexBackreference) capitalizeRuby(c) else c
         }
       case TagPh        => stripped
@@ -191,14 +194,16 @@ object RuleCompiler {
     if (rules.isEmpty)
       throw new RuleConfigError("missing rewriterules") // :57-59
     // duplicate key is (key, invert-marker, pattern) — tag/label excluded (:49,:61-63)
-    val names = rules.map(r => r.key + (if (r.invert) "!" else "") + r.pattern)
+    // dup key uses the COMPILED pattern (:49,:61-63): /re/ and re collide
+    val names = rules.map(r =>
+      r.key + (if (r.invert) "!" else "") + r.normalizedPattern)
     if (names.distinct.length != names.length)
       throw new RuleConfigError(s"duplicated rewriterules found: $rules") // :61-63
     if (cfg.removeTagPrefix.isDefined && cfg.removeTagRegexp.isDefined)
       throw new RuleConfigError(
         "remove_tag_prefix and remove_tag_regexp are exclusive") // :65-67
     cfg.removeTagRegexp.foreach { re =>
-      try Pattern.compile(re)
+      try Pattern.compile(Rule.normalizePattern(re))
       catch {
         case e: PatternSyntaxException =>
           throw new RuleConfigError(s"invalid remove_tag_regexp: ${e.getMessage}")
@@ -212,12 +217,12 @@ object RuleCompiler {
     */
   def ruleVersionHash(rules: Seq[Rule], cfg: RoutingConfig): String = {
     val canonical = (rules.map(r =>
-      Seq(r.key, r.pattern, r.tag, r.label.getOrElse(" "), r.invert)
-        .mkString("")) :+
+      Seq(r.key, r.pattern, r.tag, r.label.getOrElse("\u0000"), r.invert)
+        .mkString("\u0001")) :+
       Seq(cfg.capitalizeRegexBackreference,
-        cfg.removeTagPrefix.getOrElse(" "),
-        cfg.removeTagRegexp.getOrElse(" "),
-        cfg.hostname).mkString("")).mkString("")
+        cfg.removeTagPrefix.getOrElse("\u0000"),
+        cfg.removeTagRegexp.getOrElse("\u0000"),
+        cfg.hostname).mkString("\u0001")).mkString("\u0002")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

@@ -28,7 +28,24 @@ final case class Rule(
     pattern: String,
     tag: String,
     label: Option[String] = None,
-    invert: Boolean = false)
+    invert: Boolean = false) {
+
+  /** Pattern with Fluentd's `regexp_type` surface applied: both the
+    * `/re/`-delimited and bare forms are accepted
+    * (fluent/config/regexp_type via out_rewrite_tag_filter.rb:2,24; both
+    * forms pinned by reference tests
+    * test_out_rewrite_tag_filter.rb:21-43).
+    */
+  def normalizedPattern: String = Rule.normalizePattern(pattern)
+}
+
+object Rule {
+  /** `/re/` → `re`; anything else unchanged (Fluentd regexp_type). */
+  def normalizePattern(p: String): String =
+    if (p.length >= 2 && p.head == '/' && p.last == '/')
+      p.substring(1, p.length - 1)
+    else p
+}
 
 /** Top-level engine options (out_rewrite_tag_filter.rb:9-18).
   *

@@ -27,7 +27,7 @@ class OracleDifferentialSpec extends AnyFunSuite {
   private val genPattern: Gen[String] = Gen.oneOf(
     "^www\\..+$", "google", "^(a|b)c?$", "[0-9]+", "^$", "^(foo)(bar)?$",
     "^(maps|news|mail)\\.", "(Googlebot|CustomBot)-([a-zA-Z]+)", ".+",
-    "o{2}", "^(?!deny).*$")
+    "o{2}", "^(?!deny).*$", "/^www\\./", "/(goo)gle/") // incl. /re/ forms
 
   private val genTemplate: Gen[String] = Gen.oneOf(
     "t.$1", "x.${tag}", "p.${tag_parts[1]}", "site.$1-$2", "${hostname}.y",

@@ -211,6 +211,31 @@ class RoutingGoldenSpec extends AnyFunSuite {
     assert(routedMap(df, rules)(0)._1 == "no_match.$1")
   }
 
+  // --- pattern forms (:21-43): /re/-delimited and bare are equivalent -----
+  test("pattern accepts /re/ and bare forms (regexp_type surface)") {
+    val df = frame(Seq("message"), "input", Seq(
+      Seq("[simple] test"), Seq("no match here")))
+    val slashForm = routedMap(df, Seq(
+      Rule("message", "/^\\[simple\\]/", "rewritten.simple")))
+    val bareForm = routedMap(df, Seq(
+      Rule("message", "^\\[simple\\]", "rewritten.simple")))
+    assert(slashForm == bareForm)
+    assert(slashForm == Map(0 -> ("rewritten.simple", None)))
+    // duplicate detection treats /re/ and re as the SAME compiled pattern
+    intercept[RuleConfigError] {
+      RuleCompiler.compile(Seq(
+        Rule("message", "/^x$/", "a"),
+        Rule("message", "^x$", "b")),
+        RoutingConfig(), df.schema, "source")
+    }
+    // remove_tag_regexp accepts the /re/ form too (:14)
+    val stripped = routedMap(
+      frame(Seq("message"), "input.access", Seq(Seq("hit"))),
+      Seq(Rule("message", ".+", "got.${tag}")),
+      RoutingConfig(removeTagRegexp = Some("/^input\\./")))
+    assert(stripped(0)._1 == "got.access")
+  }
+
   // --- drop metrics (:96-99 trace) ----------------------------------------
   test("observe metrics: emitted / matched / unmatched") {
     val rules = Seq(Rule("key", "^(odd)$", "$1"))
