@@ -23,7 +23,10 @@ object ScalingBench {
     val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "4000000").toLong
     val small = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
     val big = 4 * small
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    // best-of-5: single-session 32-core runs show ±10% wall-time noise
+    // (host tenancy, GC timing); the max-throughput window is the honest
+    // steady-state figure and stabilizes the efficiency ratio
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
     val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/root/repo/target/scaling")
 

@@ -236,6 +236,31 @@ class RoutingGoldenSpec extends AnyFunSuite {
     assert(stripped(0)._1 == "got.access")
   }
 
+  // --- invalid bytes (:255-291): scrub for MATCHING, route ORIGINAL -------
+  test("invalid-encoding scrub: match sees '?', routed row keeps raw bytes") {
+    import graft.expressions.ScrubToUtf8
+    val schema = StructType(Seq(
+      StructField("rid", IntegerType, nullable = false),
+      StructField("raw", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = false)))
+    val rows = Seq(
+      Row(0, Array[Byte](0xff.toByte), "input"), // invalid UTF-8
+      Row(1, "plain".getBytes("UTF-8"), "input"))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      // the reference's shape: rules read the scrubbed projection, the
+      // record itself (raw) passes through unchanged (:139-145)
+      .withColumn("message", ScrubToUtf8(col("raw")))
+    val routed = Router.route(df, Seq(Rule("message", "^(.+)$", "app.$1")))
+      .collect().map(r => r.getAs[Int]("rid") ->
+        (r.getAs[String]("new_tag"), r.getAs[Array[Byte]]("raw"))).toMap
+    assert(routed(0)._1 == "app.?") // test :262-266: tag from scrubbed value
+    assert(routed(0)._2.sameElements(Array[Byte](0xff.toByte))) // raw survives
+    assert(routed(1)._1 == "app.plain")
+    assert(routed(1)._2.sameElements("plain".getBytes("UTF-8")))
+  }
+
   // --- drop metrics (:96-99 trace) ----------------------------------------
   test("observe metrics: emitted / matched / unmatched") {
     val rules = Seq(Rule("key", "^(odd)$", "$1"))
