@@ -57,6 +57,9 @@ object SparkEntry {
     Rule("lang", "^de$", "${tag}", label = Some("germany")), // relabel keeps it
     Rule("lang", "^(fr|es|zh)$", "kept.$1"))
 
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.ParquetIO.read(s, s"$dir/events.parquet")
+
   // ---- grok parse stage (north rule: "grok/regex parse") ------------------
 
   /** Deterministic apache-access lines synthesized from the documents table
@@ -270,6 +273,33 @@ object SparkEntry {
       val parsed = Grok.parse(apacheLines(s, dir), "line", "%{COMMONAPACHELOG}")
       Router.route(parsed, grokRouteRules, RoutingConfig(), "tag0")
         .select(col("doc_id"), col("new_tag"))
+    }),
+
+    // datacounter-style per-minute, per-type event counts (SURVEY §2.3: the
+    // reference ecosystem's downstream per-minute tag aggregation)
+    "q_event_minute_counts" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm").as("minute"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          // cents BEFORE the sum: float addition is order-sensitive and
+          // Spark's partial/final agg order differs from DuckDB's scan order
+          sum(round(col("value") * 100).cast("long")).as("value_c"))
+    }),
+
+    // route on a JSON record field — the Fluentd schemaless-record analog
+    // (record_accessor over dynamic payloads; R-ACC on JSON)
+    "q_json_route" -> ((s, dir) => {
+      val df = events(s, dir)
+        .withColumn("tag0", concat(lit("ev."), col("event_type")))
+        .withColumn("kval", get_json_object(col("props"), "$.k"))
+      val rules = Seq(
+        Rule("kval", "^(6[0-9])$", "sixty.$1"),
+        Rule("kval", "^[0-9]$", "single.${tag_parts[1]}"),
+        Rule("kval", "^$", "other.${tag}", invert = true))
+      Router.route(df, rules, RoutingConfig(), "tag0")
+        .select(col("event_id"), col("new_tag"))
     }),
 
     // multimodal: binary payload metadata (oracle-mirrorable subset)
@@ -526,6 +556,30 @@ object SparkEntry {
          |    SELECT doc_id, tag0,
          |      regexp_extract(line, '${apacheGrok.pattern}', ${grokGroup("response")}) AS resp
          |    FROM $apacheLinesSql
+         |  )
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
+
+    "q_event_minute_counts" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_json_route" ->
+      s"""SELECT event_id, new_tag FROM (
+         |  SELECT event_id, tag0,
+         |    CASE
+         |      WHEN coalesce(kval,'') <> '' AND regexp_matches(kval, '^(6[0-9])$$')
+         |        THEN 'sixty.' || regexp_extract(kval, '^(6[0-9])$$', 1)
+         |      WHEN coalesce(kval,'') <> '' AND regexp_matches(kval, '^[0-9]$$')
+         |        THEN 'single.' || split_part(tag0, '.', 2)
+         |      WHEN NOT regexp_matches(coalesce(kval,''), '^$$')
+         |        THEN 'other.' || tag0
+         |    END AS new_tag
+         |  FROM (
+         |    SELECT event_id, 'ev.' || event_type AS tag0,
+         |           json_extract_string(props, '$$.k') AS kval
+         |    FROM events
          |  )
          |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
 

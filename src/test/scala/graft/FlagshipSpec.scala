@@ -97,6 +97,10 @@ class FlagshipSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("driver contract: SparkEntry.entry returns rows (driver smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("flagship metrics triple") {
     val df = Synth.sequences(spark, 2000)
     val (counts, metrics) = Pipelines.flagshipWithMetrics(spark, df)
