@@ -161,11 +161,17 @@ object Router {
     val withNs = routed
       .withColumn("new_label_ns", coalesce(col(NewLabel), lit(DefaultLabel)))
     val salted =
-      if (salt > 1)
-        withNs.repartition(
+      if (salt > 1) {
+        // EXPLICIT partition count: a bare repartition(exprs) is an AQE
+        // coalescing target, and AQE happily merges the salted groups back
+        // into few tasks when their post-shuffle bytes look small —
+        // silently defeating the hot-tag spread (caught by the salt-spread
+        // test). A user-specified count is exempt from coalescing.
+        val parts = routed.sparkSession.sessionState.conf.numShufflePartitions
+        withNs.repartition(parts,
           col("new_label_ns"), col(NewTag),
           pmod(xxhash64(col(saltKey)), lit(salt)))
-      else withNs
+      } else withNs
     salted
       .drop(NewLabel)
       .write

@@ -89,6 +89,14 @@ class FlagshipSpec extends AnyFunSuite {
     assert(sinks.contains(("k8s", "k8s.kubernetes.var.log")))
     assert(sinks.contains(("@default", "site.apache.access")))
     assert(sinks.contains(("relabel", "input")))
+    // hot-tag salting: the ~40%-of-rows tag must spread over MULTIPLE write
+    // tasks/files (north rule: salted repartitioning for skewed tags) — an
+    // unsalted repartition(tag) would funnel it into exactly one file
+    val hotDir = new java.io.File(
+      s"$dir/new_label_ns=@default/new_tag=site.apache.access")
+    val hotFiles = Option(hotDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(hotFiles >= 2, s"hot tag written by $hotFiles task(s), salt=4")
     // token identity through the parquet round-trip on a sample sink
     val a = routed.filter(col("new_tag") === "site.Nginx-Access")
       .select("doc_id", "tokens").collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
