@@ -51,7 +51,10 @@ object Router {
         .withColumn(NewLabel, col("__routed.label"))
         .drop("__routed")
     } else {
-      val orig = col(plan.tagCol)
+      // null tag ≡ "" (Fluentd's missing-value convention; the fused path
+      // coalesces the same way, so both compilations stay byte-identical
+      // even on null tag columns)
+      val orig = coalesce(col(plan.tagCol).cast("string"), lit(""))
       routeRaw(df, plan)
         .filter((col(NewTag).isNotNull && col(NewTag) =!= orig) ||
           col(NewLabel).isNotNull)
@@ -89,7 +92,7 @@ object Router {
         .withColumn(NewLabel, col("__routed.label"))
         .drop("__routed")
     } else {
-      val orig = col(plan.tagCol)
+      val orig = coalesce(col(plan.tagCol).cast("string"), lit(""))
       val kept = (col(NewTag).isNotNull && col(NewTag) =!= orig) ||
         col(NewLabel).isNotNull
       routeRaw(df, plan)

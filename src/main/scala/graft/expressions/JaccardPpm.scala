@@ -44,7 +44,10 @@ case class JaccardPpmExpr(left: Expression, right: Expression)
 object JaccardPpmExpr {
 
   /** Public so generated code can call it. Distinct-set semantics exactly
-    * like array_intersect/array_union (duplicates collapse).
+    * like array_intersect/array_union — including for fractional types,
+    * where Spark's collection set-ops distinguish -0.0 from 0.0 (no
+    * NormalizeFloatingNumbers inside array expressions; verified against
+    * the built-ins by SketchExprSpec), which boxed equals matches exactly.
     */
   def compute(a: ArrayData, b: ArrayData, elemType: DataType): Long = {
     val aArr = a.toObjectArray(elemType)

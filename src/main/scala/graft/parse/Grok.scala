@@ -105,10 +105,13 @@ object Grok {
     def neutralize(s: String): String = {
       val sb = new StringBuilder
       var i = 0
+      var inClass = false // '(' inside [...] is a literal, not a group
       while (i < s.length) {
         val c = s.charAt(i)
         if (c == '\\' && i + 1 < s.length) { sb.append(c).append(s.charAt(i + 1)); i += 2 }
-        else if (c == '(' &&
+        else if (c == '[' && !inClass) { inClass = true; sb.append(c); i += 1 }
+        else if (c == ']' && inClass) { inClass = false; sb.append(c); i += 1 }
+        else if (c == '(' && !inClass &&
           (i + 1 >= s.length || s.charAt(i + 1) != '?')) { sb.append("(?:"); i += 1 }
         else { sb.append(c); i += 1 }
       }
@@ -134,14 +137,17 @@ object Grok {
     * the line does not match.
     */
   def extract(line: Column, expr: String): Column =
-    ColumnBridge.column(GrokExtractExpr(ColumnBridge.expression(line), compile(expr)))
+    extract(line, compile(expr))
+
+  def extract(line: Column, g: CompiledGrok): Column =
+    ColumnBridge.column(GrokExtractExpr(ColumnBridge.expression(line), g))
 
   /** Parse stage: add every grok field of `expr` as a string column. Rows
     * that do not match keep null fields (filter on them to drop).
     */
   def parse(df: DataFrame, inputCol: String, expr: String): DataFrame = {
     val g = compile(expr)
-    val parsed = df.withColumn("__grok", extract(col(inputCol), expr))
+    val parsed = df.withColumn("__grok", extract(col(inputCol), g))
     g.fields.foldLeft(parsed)((d, f) => d.withColumn(f, col(s"__grok.$f")))
       .drop("__grok")
   }

@@ -39,12 +39,28 @@ object ParquetIO extends TableIO {
       routed: DataFrame, sink: String, maxRecordsPerFile: Long): Unit =
     graft.Router.writeFanOut(routed, sink, maxRecordsPerFile = maxRecordsPerFile)
 
-  /** Content fingerprint over (file name, size) — what Checkpoint uses. */
+  /** Content fingerprint over (relative path, size) of every parquet file,
+    * RECURSIVELY — partitioned layouts (incl. this object's own fan-out
+    * output, `new_label_ns=<l>/new_tag=<t>/part-*.parquet`) keep their data
+    * files below subdirectories, so a top-level-only listing would
+    * fingerprint every partitioned table to the same empty-list hash.
+    */
   override def versionId(spark: SparkSession, table: String): String = {
-    val files = Option(new java.io.File(table).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-    graft.Checkpoint.filesFingerprint(files.toSeq)
+    val root = java.nio.file.Paths.get(table)
+    val files = {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("."))
+          .map(p => root.relativize(p).toString -> p.toFile.length())
+          .toVector.sorted
+      } finally s.close()
+    }
+    val canonical = files.map { case (p, len) => s"$p:$len" }.mkString("|")
+    java.lang.Long.toHexString(graft.expressions.FnvHash64.hash(
+      canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 }
 
@@ -58,16 +74,23 @@ final class IcebergIO(catalog: String) extends TableIO {
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.format("iceberg").load(s"$catalog.$table")
 
+  /** Append-or-create: a resumable runner calls this once per input range,
+    * so an unconditional createOrReplace would wipe earlier ranges. File
+    * sizes are governed by Iceberg's own `write.target-file-size-bytes`
+    * table property (records-per-file is not an Iceberg write option); the
+    * `maxRecordsPerFile` parameter bounds rows per TASK via the caller's
+    * salted repartition instead.
+    */
   override def writeFanOut(
       routed: DataFrame, sink: String, maxRecordsPerFile: Long): Unit = {
     import org.apache.spark.sql.functions._
-    routed
+    val df = routed
       .withColumn("new_label_ns",
         coalesce(col(graft.Router.NewLabel), lit(graft.Router.DefaultLabel)))
       .drop(graft.Router.NewLabel)
-      .writeTo(s"$catalog.$sink")
-      .partitionedBy(col("new_label_ns"), col(graft.Router.NewTag))
-      .createOrReplace()
+    val w = df.writeTo(s"$catalog.$sink")
+    if (routed.sparkSession.catalog.tableExists(s"$catalog.$sink")) w.append()
+    else w.partitionedBy(col("new_label_ns"), col(graft.Router.NewTag)).create()
   }
 
   /** Current snapshot id from the Iceberg metadata table. */

@@ -31,6 +31,15 @@ class GrokSpec extends AnyFunSuite {
     intercept[RuleConfigError](Grok.compile("%{WORD:a} %{WORD:a}"))
   }
 
+  test("literal paren inside a character class survives neutralization") {
+    val g = Grok.compile("[(]%{WORD:w}[)]")
+    val m = java.util.regex.Pattern.compile(g.pattern).matcher("(hello)")
+    assert(m.find() && m.group(1) == "hello")
+    // must NOT match the corrupted-class inputs '?foo)' / ':foo)'
+    assert(!java.util.regex.Pattern.compile(g.pattern).matcher("?foo)").find())
+    assert(!java.util.regex.Pattern.compile(g.pattern).matcher(":foo)").find())
+  }
+
   test("extract: one-pass struct; non-matching line → null struct") {
     val df = Seq(
       "10.0.0.1 alice 200",

@@ -261,6 +261,29 @@ class RoutingGoldenSpec extends AnyFunSuite {
     assert(routed(1)._2.sameElements("plain".getBytes("UTF-8")))
   }
 
+  // --- null tag column: both compilations treat it as "" ------------------
+  test("null tag column: fused and column plans agree (null tag = empty)") {
+    val schema = StructType(Seq(
+      StructField("rid", IntegerType, nullable = false),
+      StructField("status", StringType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val rows = Seq(
+      Row(0, "503", null), // null tag + firing rule
+      Row(1, "200", null), // null tag, no rule fires
+      Row(2, "503", "web.api"))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val rules = Seq(Rule("status", "^5..$", "alert.${tag}"))
+    def res(plan: RuleCompiler.RoutingPlan) =
+      Router.route(df, plan).collect()
+        .map(r => r.getAs[Int]("rid") -> r.getAs[String]("new_tag")).toMap
+    val fused = res(RuleCompiler.compileFused(rules, RoutingConfig(), schema, "source"))
+    val column = res(RuleCompiler.compile(rules, RoutingConfig(), schema, "source"))
+    assert(fused == column)
+    assert(fused == Map(0 -> "alert.", 2 -> "alert.web.api")) // null tag ≡ ""
+  }
+
   // --- drop metrics (:96-99 trace) ----------------------------------------
   test("observe metrics: emitted / matched / unmatched") {
     val rules = Seq(Rule("key", "^(odd)$", "$1"))

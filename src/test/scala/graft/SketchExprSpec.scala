@@ -136,6 +136,16 @@ class SketchExprSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  test("JaccardPpmExpr matches built-in set-ops on -0.0 vs 0.0 (distinct)") {
+    // Spark's array_intersect/array_union do NOT normalize -0.0 to 0.0;
+    // the custom expression must mirror that exactly (boxed equals does)
+    val df = Seq((Array(0.0), Array(-0.0))).toDF("a", "b")
+    val out = df.select(
+      Dedup.jaccardPpm(col("a"), col("b")).as("fast"),
+      Dedup.jaccardPpmSql(col("a"), col("b")).as("ref")).collect()(0)
+    assert(out.getLong(0) == out.getLong(1) && out.getLong(0) == 0L)
+  }
+
   test("SimHashBits ≡ SQL-lambda simhash, every row") {
     val out = texts.toDF("id", "text").select(
       Dedup.simHashBits(col("text")).as("fast"),

@@ -27,5 +27,15 @@ class TableIOSpec extends AnyFunSuite {
     Synth.sequences(spark, 600L).write.mode("overwrite").parquet(s"$dir/in")
     val v2 = ParquetIO.versionId(spark, s"$dir/in")
     assert(v1 != v2)
+
+    // PARTITIONED layouts fingerprint their nested data files (a top-level
+    // listing would hash every partitioned table to the empty-list value)
+    val vOut1 = ParquetIO.versionId(spark, s"$dir/out")
+    assert(vOut1 != ParquetIO.versionId(spark, s"$dir/in"))
+    ParquetIO.writeFanOut(
+      Router.route(ParquetIO.read(spark, s"$dir/in"),
+        Pipelines.flagshipPlan(ParquetIO.read(spark, s"$dir/in"))),
+      s"$dir/out2", maxRecordsPerFile = 1000L)
+    assert(ParquetIO.versionId(spark, s"$dir/out2") != vOut1) // 600 ≠ 500 rows
   }
 }
