@@ -260,6 +260,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // chained re-routing: stage 2 consumes stage 1's rewritten tag — the
+    // reference's multi-stage pipelines (example2.conf chains rewrite
+    // stages; a re-emitted event enters later <match> sections)
+    "q_route_chained" -> ((s, dir) => {
+      val stage1 = Seq(
+        Rule("lang", "^(en|de)$", "stage1.$1"),
+        Rule("lang", ".+", "stage1.other"))
+      val stage2 = Seq(
+        Rule("source", "^src(1?[0-9])$", "final.${tag_parts[1]}.s$1"),
+        Rule("source", ".+", "final.${tag_parts[1]}.rest"))
+      val s1 = Router.route(docsTagged(s, dir), stage1, RoutingConfig(), "tag0")
+        .withColumnRenamed("new_tag", "tag1").drop("new_label")
+      Router.route(s1, stage2, RoutingConfig(), "tag1")
+        .select(col("doc_id"), col("tag1"), col("new_tag"))
+    }),
+
     // grok parse: one-pass field extraction from apache access lines
     "q_grok_parse" -> ((s, dir) => {
       Grok.parse(apacheLines(s, dir), "line", "%{COMMONAPACHELOG}")
@@ -530,6 +546,28 @@ object SparkEntry {
         |        DESC, c.vec_id ASC) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
         |) WHERE rank <= 10""".stripMargin,
+
+    "q_route_chained" ->
+      s"""SELECT doc_id, tag1, new_tag FROM (
+         |  SELECT doc_id, source, tag1,
+         |    CASE
+         |      WHEN coalesce(source,'') <> '' AND regexp_matches(source, '^src(1?[0-9])$$')
+         |        THEN 'final.' || split_part(tag1, '.', 2) || '.s'
+         |             || regexp_extract(source, '^src(1?[0-9])$$', 1)
+         |      WHEN coalesce(source,'') <> '' AND regexp_matches(source, '.+')
+         |        THEN 'final.' || split_part(tag1, '.', 2) || '.rest'
+         |    END AS new_tag
+         |  FROM (
+         |    SELECT doc_id, source, tag0,
+         |      CASE
+         |        WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^(en|de)$$')
+         |          THEN 'stage1.' || regexp_extract(lang, '^(en|de)$$', 1)
+         |        WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '.+')
+         |          THEN 'stage1.other'
+         |      END AS tag1
+         |    FROM $docsTaggedSql
+         |  ) WHERE tag1 IS NOT NULL AND tag1 <> tag0
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag1""".stripMargin,
 
     "q_grok_parse" -> {
       def x(f: String) =
