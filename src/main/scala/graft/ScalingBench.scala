@@ -79,11 +79,17 @@ object ScalingBench {
       "-cp", sys.props("java.class.path"),
       "graft.ScalingBenchLevel", k.toString, inputPath, reps.toString)
     val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(false)
+    // stderr goes to a temp file, NOT a pipe: Spark logs to stderr, and a
+    // child blocked on a full stderr pipe while the parent reads stdout to
+    // EOF deadlocks both processes. A file sink never back-pressures.
+    val errFile = java.io.File.createTempFile(s"graft-scale-$k-", ".stderr")
+    pb.redirectError(errFile)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
     val code = proc.waitFor()
+    val err =
+      try new String(java.nio.file.Files.readAllBytes(errFile.toPath), "UTF-8")
+      finally errFile.delete()
     val line = out.linesIterator.find(_.startsWith("LEVEL_RESULT"))
       .getOrElse(throw new IllegalStateException(
         s"level $k JVM (exit $code) produced no result; stderr tail:\n" +

@@ -226,16 +226,17 @@ object SparkEntry {
         lenTolerance = 1000000, thresholdPpm = 400000L)
     }),
 
-    // MinHash+LSH near-dup pairs (xxhash64-based → rows-only check)
+    // MinHash+LSH near-dup pairs under the oracle-portable md5 hash family —
+    // the DuckDB oracle reproduces signatures, banding, bucket caps and the
+    // exact-Jaccard verify value-for-value (the faster xxhash64 variant is
+    // pinned by SketchExprSpec differentials and benched separately)
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minHashLshPairs(docs(s, dir).withColumn("doc_id", col("doc_id").cast("string")),
-        thresholdPpm = 400000L)
+      Dedup.minHashLshPairsPortable(docs(s, dir), thresholdPpm = 400000L)
     }),
 
-    // SimHash signatures + banded pairs (xxhash64-based → rows-only check)
+    // SimHash banded pairs, md5 family — fully oracle-verified (as above)
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashPairs(docs(s, dir).withColumn("doc_id", col("doc_id").cast("string")),
-        maxHamming = 12)
+      Dedup.simHashPairsPortable(docs(s, dir), maxHamming = 12)
     }),
 
     // brute-force cosine top-k over embeddings
@@ -331,9 +332,139 @@ object SparkEntry {
           col("media_kind"), col("duration_ms"))
     }))
 
+  // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------
+
+  /** Whitespace words, mirroring TextFunctions.words ("" → []). */
+  private val duckWords =
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] " +
+      "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
+  /** 3-word shingles over `ws`, mirroring TextFunctions.shingles(_, 3). */
+  private val duckShingles3 =
+    "CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] " +
+      "ELSE list_transform(range(1, len(ws) - 1), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END"
+
+  /** Per-word 64-char bitstring from the first 8 md5 bytes (MSB-first) —
+    * mirrors the Md5WordHashes→SimHashBits bit order.
+    */
+  private val duckWordBits =
+    "list_aggregate(list_transform(range(1, 17), " +
+      "i -> lpad(bin(strpos('0123456789abcdef', substr(md5(w), CAST(i AS INT), 1)) - 1), 4, '0')), " +
+      "'string_agg', '')"
+
+  /** Left-to-right IEEE double dot product — bit-identical to the codegen'd
+    * DotDouble expression (same element casts, same summation order).
+    */
+  private def duckDot(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Hyperplane literal: every double printed with Java's shortest
+    * round-trip repr and parsed back via VARCHAR→DOUBLE cast, which is
+    * guaranteed nearest — the literal IS the Spark-side plane value.
+    */
+  private def duckPlane(p: Seq[Double]): String =
+    p.map(d => "'" + d.toString + "'").mkString("[", ",", "]") + "::DOUBLE[]"
+
+  private val EmbDim = 64 // driver testdata embedding dim (all SFs)
+
+  /** Shared CTE: per-vector norm + LSH sign-bit bucket under `planes`. */
+  private def duckBucketedEmb(planes: Seq[Seq[Double]]): String = {
+    val bucket = planes.zipWithIndex.map { case (_, i) =>
+      s"(CASE WHEN ${duckDot("embedding", s"p$i", EmbDim)} >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val planeCols = planes.zipWithIndex
+      .map { case (p, i) => s"${duckPlane(p)} AS p$i" }.mkString(", ")
+    s"""(SELECT vec_id, embedding,
+       |   sqrt(${duckDot("embedding", "embedding", EmbDim)}) AS n,
+       |   $bucket AS bucket
+       | FROM embeddings, (SELECT $planeCols))""".stripMargin
+  }
+
+  /** floor(cosine·1e6) with the exact cosinePrenormed formulation. */
+  private def duckSimPpm(a: String, b: String): String =
+    s"floor((CASE WHEN $a.n * $b.n = 0 THEN 0.0 " +
+      s"ELSE ${duckDot(s"$a.embedding", s"$b.embedding", EmbDim)} / ($a.n * $b.n) END) * 1000000.0)"
+
   // ---- DuckDB oracles -----------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      """WITH d0 AS (SELECT doc_id, __WORDS__ AS ws FROM documents),
+        |docs AS (SELECT doc_id, list_distinct(__SHINGLES__) AS sh FROM d0),
+        |sigs AS (SELECT doc_id,
+        |    list_transform(range(0, 16),
+        |      j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS mh
+        |  FROM docs),
+        |banded AS (
+        |  SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
+        |      array_to_string(list_transform(range(1, 5), i -> mh[b*4 + i]), '|') AS band_key
+        |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |live AS (SELECT band_key FROM banded GROUP BY band_key
+        |         HAVING count(*) BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a
+        |  JOIN live l ON a.band_key = l.band_key
+        |  JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard_ppm FROM (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(floor(len(list_intersect(x.sh, y.sh)) * 1000000.0
+        |         / len(list_distinct(list_concat(x.sh, y.sh)))) AS BIGINT) AS jaccard_ppm
+        |  FROM pairs p
+        |  JOIN docs x ON p.id_a = x.doc_id
+        |  JOIN docs y ON p.id_b = y.doc_id
+        |) WHERE jaccard_ppm >= 400000""".stripMargin
+        .replace("__WORDS__", duckWords).replace("__SHINGLES__", duckShingles3),
+
+    "q_dedup_simhash" ->
+      """WITH d0 AS (SELECT doc_id, __WORDS__ AS ws FROM documents),
+        |wb AS (SELECT doc_id, list_transform(ws, w -> __WORDBITS__) AS wb FROM d0),
+        |sigs AS (SELECT doc_id,
+        |    list_aggregate(list_transform(range(1, 65),
+        |      p -> CASE WHEN 2 * len(list_filter(wb, b -> substr(b, CAST(p AS INT), 1) = '1')) > len(wb)
+        |           THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+        |  FROM wb),
+        |banded AS (
+        |  SELECT doc_id, CAST(b AS VARCHAR) || ':' || substr(sig, CAST(1 + b*16 AS INT), 16) AS band_key
+        |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |live AS (SELECT band_key FROM banded GROUP BY band_key
+        |         HAVING count(*) BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a
+        |  JOIN live l ON a.band_key = l.band_key
+        |  JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(len(list_filter(range(1, 65),
+        |      q -> substr(x.sig, CAST(q AS INT), 1) <> substr(y.sig, CAST(q AS INT), 1))) AS BIGINT) AS hamming
+        |  FROM pairs p
+        |  JOIN sigs x ON p.id_a = x.doc_id
+        |  JOIN sigs y ON p.id_b = y.doc_id
+        |) WHERE hamming <= 12""".stripMargin
+        .replace("__WORDS__", duckWords).replace("__WORDBITS__", duckWordBits),
+
+    "q_embed_ann_lsh" -> {
+      val c = duckBucketedEmb(Ann.planes(6, EmbDim))
+      s"""WITH c AS (SELECT * FROM $c)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckSimPpm("q", "c")} DESC, c.vec_id ASC) AS rank
+         |  FROM (SELECT * FROM c WHERE vec_id < 3) q
+         |  JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |) WHERE rank <= 10""".stripMargin
+    },
+
+    "q_embed_neardup" -> {
+      val c = duckBucketedEmb(Ann.planes(4, EmbDim))
+      s"""WITH c AS (SELECT * FROM $c)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${duckSimPpm("a", "b")} >= 300000""".stripMargin
+    },
     "q_route_first_match" ->
       s"""SELECT doc_id, new_tag FROM (
          |  SELECT doc_id, tag0,
@@ -534,6 +665,10 @@ object SparkEntry {
         |     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws
         |   FROM documents WHERE trim(text) <> '') b
         |ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |JOIN
+        |  (SELECT lang || ':' || CAST(n_chars // 64 AS VARCHAR) AS blk, count(*) AS bn
+        |   FROM documents GROUP BY 1) bc
+        |ON a.blk = bc.blk AND bc.bn BETWEEN 2 AND 1000
         |WHERE len(list_intersect(a.ws, b.ws)) * 1000000.0
         |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 400000""".stripMargin,
 

@@ -7,10 +7,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 /** Similarity search over an embedding column (`array<float>`):
   *
   *  - brute-force cosine top-k: the exact baseline — broadcast the (small)
-  *    query set against the corpus, one narrow pass + per-query top-k.
-  *    At 100 TB this is a single scan per query batch: no corpus shuffle,
-  *    the window ranks within query partitions whose size = corpus/queries
-  *    fan-in is bounded by pushing a coarse `sim_floor` filter first.
+  *    query set against the corpus, one narrow pass, then TWO-STAGE top-k:
+  *    local rank within (query, input-partition) keeps k rows per query per
+  *    partition, the global rank then orders only k×P survivors per query.
+  *    No task ever sorts more than its own partition's candidates — a window
+  *    over bare `query_id` would put the ENTIRE corpus in one task per query.
   *  - LSH-bucketed ANN (random hyperplanes): deterministic planes, sign
   *    bits → bucket key; candidate set = same-bucket rows, exact rerank
   *    inside the bucket. The scale path: bucket count grows 2^P, the
@@ -50,10 +51,18 @@ object Ann {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /** Exact top-k neighbors for each query row.
+  /** Exact top-k neighbors for each query row, two-stage.
     *
-    * @param corpus  (idCol, vecCol) big side — scanned once, never shuffled
-    *                until the per-query top-k aggregation (k rows/query).
+    * Stage 1 ranks within `(query_id, spark_partition_id())`: every corpus
+    * partition contributes at most k candidates per query, and the shuffle
+    * that feeds the window is keyed on (query, partition) — balanced across
+    * the cluster no matter how few queries there are. Stage 2 ranks the
+    * k×P survivors per query (tiny). Both stages order by
+    * (sim desc, id asc), a total order, so the final ranks are identical to
+    * the single-window formulation — asserted by the differential spec.
+    *
+    * @param corpus  (idCol, vecCol) big side — scanned once; only the narrow
+    *                (query_id, neighbor_id, sim_ppm) projection shuffles.
     * @param queries (idCol, vecCol) small side — broadcast.
     * @return (query_id, neighbor_id, rank, sim_ppm) — rank 1..k by
     *         (sim desc, neighbor_id asc); self-matches excluded; sim as
@@ -73,10 +82,17 @@ object Ann {
       .join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("sim_ppm", floor(cosinePrenormed(
         col("qv"), col("cv"), col("qn"), col("cn")) * 1000000.0))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim_ppm").desc, col("neighbor_id").asc)
+      // pin the producing partition BEFORE the window shuffle; vectors are
+      // projected away here — only ids + sim cross the wire
+      .select(col("query_id"), col("neighbor_id"), col("sim_ppm"),
+        spark_partition_id().as("__part"))
+    val order = Seq(col("sim_ppm").desc, col("neighbor_id").asc)
+    val wLocal = Window.partitionBy("query_id", "__part").orderBy(order: _*)
+    val wGlobal = Window.partitionBy("query_id").orderBy(order: _*)
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k) // ≤ k rows per (query, partition) survive
+      .withColumn("rank", row_number().over(wGlobal))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim_ppm")
   }

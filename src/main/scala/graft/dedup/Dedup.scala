@@ -1,7 +1,6 @@
 package graft.dedup
 
 import graft.textops.TextFunctions
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -25,18 +24,26 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Dedup {
 
   /** Exact dedup: annotate every row with the elected keeper (min id among
-    * identical texts) and a dup flag. One hash-shuffle; text itself never
-    * shuffles (fingerprint only). Collision note: 64-bit FNV over 10^12 docs
-    * has birthday-collision risk ~3%, so the window also orders within
-    * fingerprint groups by the text itself only when lengths tie — for
-    * has birthday-collision risk — for strict guarantees swap in
-    * sha2(text, 256); semantics are identical.
+    * identical texts) and a dup flag. Keeper election is `groupBy(fp).agg(min)`
+    * — the partial (map-side) aggregate collapses every local copy of a
+    * duplicated document to ONE row before the shuffle, so a document
+    * duplicated 10^8 times (the common case in web corpora: boilerplate,
+    * error pages) costs one row per map task, not one task holding all
+    * copies. (The window formulation `min(id) over (partition by fp)` has no
+    * partial step: the hot fingerprint's every copy lands in a single task.)
+    * The join back is fp→keeper on the same key; AQE skew-join splits the
+    * probe side of any residual hot key. Text itself never shuffles
+    * (fingerprint only). Collision note: 64-bit FNV over 10^12 docs has
+    * birthday-collision risk ~3%; for strict guarantees swap the fingerprint
+    * for sha2(text, 256) — semantics are identical.
     */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
-    val w = Window.partitionBy("__fp")
+    val keepers = df
+      .select(fp.as("__fp"), col(idCol).as("keeper_id"))
+      .groupBy("__fp").agg(min("keeper_id").as("keeper_id"))
     df.withColumn("__fp", fp)
-      .withColumn("keeper_id", min(col(idCol)).over(w))
+      .join(keepers, Seq("__fp"))
       .withColumn("is_dup", col("keeper_id") =!= col(idCol))
       .drop("__fp")
   }
@@ -231,8 +238,108 @@ object Dedup {
         (x, y) => when(x === y, 0).otherwise(1)),
       lit(0), (acc, v) => acc + v)
 
+  // ---- oracle-portable (md5-family) variants --------------------------------
+  //
+  // Same LSH shapes as the xxhash64 production paths above, but every hash
+  // the BUCKETING depends on is md5 — computable bit-for-bit by any engine —
+  // so the driver's DuckDB oracle can verify banding, bucket caps, pair
+  // generation AND verification thresholds value-for-value (the xxhash64
+  // paths only ever get rows-only checks). Plans are identical in shape:
+  // only (id, band_key) shuffles, caps bound degenerate buckets.
+
+  /** [[minHashLshPairs]] under the md5 hash family (see [[graft.expressions.Md5MinHashSig]]).
+    * Signature j = min over shingle strings s of hex(md5(j + ":" + s));
+    * band key = band index + the band's r signature values; verification =
+    * exact Jaccard over the distinct shingle-STRING sets (no hashing at all).
+    */
+  def minHashLshPairsPortable(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      thresholdPpm: Long = 700000L,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+
+    val withSets = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+
+    // signature over the DISTINCT shingle set (min is set-semantics anyway;
+    // distinct keeps the verify join input and the signature input identical)
+    val withSig = withSets.select(col("id"),
+      graft.expressions.Md5MinHashSig(col("sh"), numHashes).as("mh"))
+    val banded = withSig.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        concat(lit(s"$b:"), concat_ws("|", slice(col("mh"), b * r + 1, r)))): _*))
+        .as("band_key"))
+
+    val pairs = banded
+      .groupBy("band_key").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+    pairs
+      .join(withSets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(withSets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard_ppm", jaccardPpm(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select("id_a", "id_b", "jaccard_ppm")
+  }
+
+  /** [[simHashBits]] under the md5 hash family: word hash = first 8 bytes of
+    * md5(word), big-endian (see [[graft.expressions.Md5WordHashes]]); the
+    * voting/banding logic is the shared [[graft.expressions.SimHashBits]].
+    */
+  def simHashBitsPortable(text: Column): Column =
+    graft.expressions.SimHashBits(graft.expressions.Md5WordHashes(text))
+
+  /** [[simHashPairs]] under the md5 hash family; hamming emitted as long for
+    * oracle-schema parity.
+    */
+  def simHashPairsPortable(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHashBitsPortable(col(textCol)).as("sig"))
+    val banded = sigs.select(
+      struct(col("id"), col("sig")).as("ds"),
+      explode(array((0 until 4).map(bd =>
+        concat(lit(s"$bd:"), substring(col("sig"), 1 + bd * 16, 16))): _*)).as("band_key"))
+    banded
+      .groupBy("band_key").agg(collect_list(col("ds")).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y.getField("id") > x.getField("id")),
+          y => struct(
+            x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hammingBits(col("sig_a"), col("sig_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact word-set Jaccard pairs within blocks (same blocking value and
     * close length) — small-block exact near-dup, SQL-mirrorable.
+    *
+    * @param maxBlock drop blocks larger than this before the self-join (same
+    *                 rationale as [[minHashLshPairs]]'s `maxBucket`: one
+    *                 degenerate block — every short doc of one lang/length
+    *                 bucket — otherwise goes quadratic). The count comes from
+    *                 a partial+final aggregate, so the hot block never
+    *                 concentrates in one task; the semi-join back prunes it.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -241,10 +348,15 @@ object Dedup {
       blockCol: String,
       lenCol: String,
       lenTolerance: Int = 16,
-      thresholdPpm: Long = 500000L): DataFrame = {
-    val base = df.select(
+      thresholdPpm: Long = 500000L,
+      maxBlock: Int = 1000): DataFrame = {
+    val base0 = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"), col(lenCol).as("len"),
       array_distinct(TextFunctions.words(col(textCol))).as("ws"))
+    val liveBlocks = base0.groupBy("blk").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn").between(2, maxBlock))
+      .select("blk")
+    val base = base0.join(liveBlocks, Seq("blk"), "left_semi")
     val a = base.select(col("blk"), col("id").as("id_a"), col("len").as("len_a"), col("ws").as("ws_a"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("len").as("len_b"), col("ws").as("ws_b"))
     a.join(b, Seq("blk"))

@@ -82,4 +82,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles.isEmpty,
       s"routing must be a narrow pipeline:\n${routed.queryExecution.executedPlan}")
   }
+
+  test("bruteForceTopK is two-stage: no window partitions the raw corpus on bare query_id") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), k = 5)
+    val nodes = executedNodes(out)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.exists(_.partitionSpec.length == 2),
+      s"expected a (query_id, input-partition) local top-k window:\n$windows")
+    // every single-key window must rank the locally-limited rows (its subtree
+    // filters on the local rank __lr), never the raw joined corpus
+    val global = windows.filter(_.partitionSpec.length == 1)
+    assert(global.nonEmpty)
+    global.foreach { w =>
+      assert(w.child.toString.contains("__lr"),
+        s"global window consumes unlimited input:\n$w")
+    }
+  }
+
+  test("exact dedup elects keepers via partial+final aggregate, not a window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.dedup.Dedup.exact(docs)
+    val nodes = executedNodes(out)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "a window over the fingerprint concentrates every copy of a hot document in one task")
+    assert(nodes.count(_.nodeName.contains("HashAggregate")) >= 2,
+      s"expected partial+final HashAggregate:\n${out.queryExecution.executedPlan}")
+  }
 }

@@ -146,6 +146,59 @@ class SketchExprSpec extends AnyFunSuite {
     assert(out.getLong(0) == out.getLong(1) && out.getLong(0) == 0L)
   }
 
+  test("Md5MinHashSig ≡ SQL-lambda md5-hex minhash, every row, several widths") {
+    val df = texts.toDF("id", "text").withColumn("sh",
+      array_distinct(TextFunctions.shingles(col("text"), 3)))
+    for (n <- Seq(1, 4, 16)) {
+      val ref = transform(sequence(lit(0), lit(n - 1)),
+        j => array_min(transform(col("sh"),
+          s => md5(concat(j.cast("string"), lit(":"), s)))))
+      val out = df.select(
+        graft.expressions.Md5MinHashSig(col("sh"), n).as("fast"),
+        ref.as("ref")).collect()
+      out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n"))
+    }
+  }
+
+  test("Md5WordHashes ≡ first 8 md5 bytes big-endian (driver recompute)") {
+    val rows = texts.toDF("id", "text")
+      .select(col("text"), graft.expressions.Md5WordHashes(col("text")).as("h"))
+      .collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val t = r.getString(0).trim
+      val want =
+        if (t.isEmpty) Seq.empty[Long]
+        else t.split("\\s+").toSeq.map { w =>
+          val d = md.digest(w.getBytes("UTF-8"))
+          (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+        }
+      assert(r.getSeq[Long](1) == want, s"text='${r.getString(0)}'")
+    }
+  }
+
+  test("portable simhash ≡ conv-based bitstring votes (the oracle's formulation)") {
+    // per-word bitstring exactly as the SQL mirror defines it:
+    // lpad(conv(substr(md5(w),1,16),16,2),64,'0'), MSB-first majority votes
+    def bits(w: org.apache.spark.sql.Column) =
+      lpad(conv(substring(md5(w), 1, 16), 16, 2), 64, "0")
+    val wordBits = transform(TextFunctions.words(col("text")), w => bits(w))
+    val counts = aggregate(
+      wordBits,
+      array_repeat(lit(0L), 64),
+      (acc, b) => zip_with(
+        acc,
+        transform(sequence(lit(1), lit(64)),
+          p => when(b.substr(p, lit(1)) === "1", 1L).otherwise(-1L)),
+        (a, v) => a + v))
+    val ref = array_join(
+      transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
+    val out = texts.toDF("id", "text").select(
+      graft.dedup.Dedup.simHashBitsPortable(col("text")).as("fast"),
+      ref.as("ref")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("SimHashBits ≡ SQL-lambda simhash, every row") {
     val out = texts.toDF("id", "text").select(
       Dedup.simHashBits(col("text")).as("fast"),

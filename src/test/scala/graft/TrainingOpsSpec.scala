@@ -123,6 +123,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains(("d1", "d2")) && pairs.contains(("d1", "d7")))
   }
 
+  test("portable (md5) minhash LSH finds the same near-dup structure") {
+    val pairs = Dedup.minHashLshPairsPortable(corpus, thresholdPpm = 500000L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("d1", "d2")))
+    assert(pairs.contains(("d1", "d3")) || pairs.contains(("d2", "d3")),
+      s"near-dup d3 not found in $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set("d1", "d4") })
+  }
+
+  test("portable (md5) simhash pairs exact dups at hamming 0") {
+    val pairs = Dedup.simHashPairsPortable(corpus, maxHamming = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains(("d1", "d2")) && keys.contains(("d1", "d7")))
+    assert(pairs.filter(p => (p._1, p._2) == ("d1", "d2")).forall(_._3 == 0L))
+  }
+
+  test("degenerate block is capped out of the n-gram self-join") {
+    import spark.implicits._
+    val hot = (1 to 30).map(i => (s"h$i", "same boilerplate text here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val capped = Dedup.ngramJaccardPairs(hot, "doc_id", "text", "lang", "n_chars",
+      lenTolerance = 16, thresholdPpm = 1L, maxBlock = 10)
+    assert(capped.count() == 0L, "block of 30 must be dropped at maxBlock=10")
+    val uncapped = Dedup.ngramJaccardPairs(hot, "doc_id", "text", "lang", "n_chars",
+      lenTolerance = 16, thresholdPpm = 1L, maxBlock = 1000)
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
+
   test("blocked n-gram jaccard pairs") {
     val df = corpus.withColumn("lang", lit("en"))
       .withColumn("n_chars", length(col("text")))
