@@ -189,10 +189,17 @@ object RuleCompiler {
   def capitalizeRuby(c: Column): Column =
     concat(upper(substring(c, 1, 1)), lower(substring(c, 2, Int.MaxValue)))
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Validations — the reference's ConfigError surface (:53-67). */
   private def validate(rules: Seq[Rule], cfg: RoutingConfig): Unit = {
     if (rules.isEmpty)
       throw new RuleConfigError("missing rewriterules") // :57-59
+    // per-rule compile log — the reference's operator-debugging surface (:50)
+    rules.foreach(r => log.info(
+      s"adding rewrite rule: ${r.key} [${r.normalizedPattern}" +
+        s"${if (r.invert) " (inverted)" else ""} -> ${r.tag}" +
+        s"${r.label.fold("")(l => s" @$l")}]"))
     // duplicate key is (key, invert-marker, pattern) — tag/label excluded (:49,:61-63)
     // dup key uses the COMPILED pattern (:49,:61-63): /re/ and re collide
     val names = rules.map(r =>

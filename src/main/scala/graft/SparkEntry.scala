@@ -60,6 +60,32 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.ParquetIO.read(s, s"$dir/events.parquet")
 
+  /** Fluentd-style rule-table config text (C-PARSE): loaded through
+    * RuleTableLoader.fromConfFile at query time — the file-loader path is
+    * part of what the oracle certifies.
+    */
+  private val confTableText =
+    """# routing table in the reference's config shape
+      |remove_tag_prefix input
+      |hostname oracle-conf-host
+      |<rule>
+      |  key     lang
+      |  pattern /^(en|de)$/
+      |  tag     conf.$1.${tag_parts[0]}
+      |</rule>
+      |<rule>
+      |  key     source
+      |  pattern /^src1([0-9])$/
+      |  tag     confteen.$1
+      |  label   @teen
+      |</rule>
+      |<rule>
+      |  key     lang
+      |  pattern /^$/
+      |  invert  true
+      |  tag     confrest.${hostname}.${tag}
+      |</rule>""".stripMargin
+
   // ---- grok parse stage (north rule: "grok/regex parse") ------------------
 
   /** Deterministic apache-access lines synthesized from the documents table
@@ -90,6 +116,42 @@ object SparkEntry {
       |   ' ' || n_chars AS line,
       |   'input.' || lang || '.' || source AS tag0
       | FROM documents)""".stripMargin
+
+  /** Combined-log extension of [[apacheLines]]: quoted referrer + a rotating
+    * user agent drawn from the reference's own agent-routing test fixtures
+    * (test_out_rewrite_tag_filter.rb:92-96).
+    */
+  private val agentFixtures = Seq(
+    "Googlebot", "Googlebot-Mobile", "Macintosh; Intel Mac OS X 10_7_4",
+    "Mozilla/5.0 Googlebot-FooBar/2.1", "CustomBot-Images")
+
+  private def combinedLines(s: SparkSession, dir: String): DataFrame =
+    apacheLines(s, dir)
+      .withColumn("agent_raw", element_at(
+        array(agentFixtures.map(lit): _*),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")))
+      .withColumn("cline", concat(
+        col("line"),
+        lit(" \"http://ref."), col("lang"), lit(".example/"), col("source"),
+        lit("\" \""), col("agent_raw"), lit("\"")))
+
+  private val combinedLinesSql = {
+    val agents = agentFixtures.map(a => s"'$a'").mkString("[", ",", "]")
+    s"""(SELECT *,
+       |   line || ' "http://ref.' || lang || '.example/' || source ||
+       |   '" "' || ($agents)[(doc_id % 5) + 1] || '"' AS cline
+       | FROM $apacheLinesSql x)""".stripMargin
+  }
+
+  /** The reference README's canonical agent rules (README.md:97-107 shape;
+    * patterns from test_out_rewrite_tag_filter.rb:74-82). The grok `agent`
+    * field carries logstash QS semantics (quotes included) — unanchored
+    * rule patterns are quote-insensitive, like the reference's.
+    */
+  private val agentRouteRules = Seq(
+    Rule("agent", ".* Mac OS X .*", "agent.MacOSX"),
+    Rule("agent", "(Googlebot|CustomBot)-([a-zA-Z]+)", "agent.$1-$2"),
+    Rule("agent", ".+", "agent.other"))
 
   private val apacheGrok = Grok.compile("%{COMMONAPACHELOG}")
 
@@ -155,6 +217,16 @@ object SparkEntry {
         RoutingConfig(hostname = "oracle-host",
           removeTagRegexp = Some("^input\\.")), "tag0")
         .select(col("doc_id"), col("new_tag"))
+    }),
+
+    // C-PARSE: route via a rule table loaded from a Fluentd-shape config
+    // FILE (loader → validate → compile → route, end to end)
+    "q_route_conf_table" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_rules", ".conf")
+      java.nio.file.Files.write(f, confTableText.getBytes("UTF-8"))
+      val (rules, cfg) = RuleTableLoader.fromConfFile(f.toString)
+      Router.route(docsTagged(s, dir), rules, cfg, "tag0")
+        .select(col("doc_id"), col("new_tag"), col("new_label"))
     }),
 
     // R-GRP: per-sink counts over the routed frame
@@ -289,6 +361,14 @@ object SparkEntry {
     "q_grok_route" -> ((s, dir) => {
       val parsed = Grok.parse(apacheLines(s, dir), "line", "%{COMMONAPACHELOG}")
       Router.route(parsed, grokRouteRules, RoutingConfig(), "tag0")
+        .select(col("doc_id"), col("new_tag"))
+    }),
+
+    // combined-log grok parse → the reference README's user-agent routing
+    // (its canonical "route on agent" example needs COMBINEDAPACHELOG)
+    "q_grok_agent_route" -> ((s, dir) => {
+      val parsed = Grok.parse(combinedLines(s, dir), "cline", "%{COMBINEDAPACHELOG}")
+      Router.route(parsed, agentRouteRules, RoutingConfig(), "tag0")
         .select(col("doc_id"), col("new_tag"))
     }),
 
@@ -544,6 +624,26 @@ object SparkEntry {
          |  FROM $docsTaggedSql
          |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
 
+    "q_route_conf_table" ->
+      s"""SELECT doc_id, new_tag, new_label FROM (
+         |  SELECT doc_id, tag0,
+         |    CASE
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^(en|de)$$')
+         |        THEN 'conf.' || regexp_extract(lang, '^(en|de)$$', 1) || '.'
+         |             || split_part(regexp_replace(tag0, '^input\\.?', ''), '.', 1)
+         |      WHEN coalesce(source,'') <> '' AND regexp_matches(source, '^src1([0-9])$$')
+         |        THEN 'confteen.' || regexp_extract(source, '^src1([0-9])$$', 1)
+         |      WHEN NOT regexp_matches(coalesce(lang,''), '^$$')
+         |        THEN 'confrest.oracle-conf-host.' || regexp_replace(tag0, '^input\\.?', '')
+         |    END AS new_tag,
+         |    CASE
+         |      WHEN coalesce(lang,'') <> '' AND regexp_matches(lang, '^(en|de)$$') THEN NULL
+         |      WHEN coalesce(source,'') <> '' AND regexp_matches(source, '^src1([0-9])$$')
+         |        THEN 'teen'
+         |    END AS new_label
+         |  FROM $docsTaggedSql
+         |) WHERE (new_tag IS NOT NULL AND new_tag <> tag0) OR new_label IS NOT NULL""".stripMargin,
+
     "q_sink_counts" ->
       s"""SELECT coalesce(new_label, '@default') AS label_ns, new_tag AS tag,
          |       count(*) AS n_rows
@@ -729,6 +829,26 @@ object SparkEntry {
          |    SELECT doc_id, tag0,
          |      regexp_extract(line, '${apacheGrok.pattern}', ${grokGroup("response")}) AS resp
          |    FROM $apacheLinesSql
+         |  )
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
+
+    // the grok `agent` field keeps logstash QS semantics (quotes included);
+    // the oracle re-extracts the same quoted tail of the line
+    "q_grok_agent_route" ->
+      s"""SELECT doc_id, new_tag FROM (
+         |  SELECT doc_id, tag0,
+         |    CASE
+         |      WHEN coalesce(agent,'') <> '' AND regexp_matches(agent, '.* Mac OS X .*')
+         |        THEN 'agent.MacOSX'
+         |      WHEN coalesce(agent,'') <> '' AND regexp_matches(agent, '(Googlebot|CustomBot)-([a-zA-Z]+)')
+         |        THEN 'agent.' || regexp_extract(agent, '(Googlebot|CustomBot)-([a-zA-Z]+)', 1)
+         |             || '-' || regexp_extract(agent, '(Googlebot|CustomBot)-([a-zA-Z]+)', 2)
+         |      WHEN coalesce(agent,'') <> '' AND regexp_matches(agent, '.+')
+         |        THEN 'agent.other'
+         |    END AS new_tag
+         |  FROM (
+         |    SELECT doc_id, tag0, regexp_extract(cline, '("[^"]*")$$', 1) AS agent
+         |    FROM $combinedLinesSql
          |  )
          |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
 

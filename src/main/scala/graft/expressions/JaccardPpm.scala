@@ -1,11 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types._
 
 /** Exact Jaccard similarity of two arrays, scaled to parts-per-million —
   * ONE pass replacing `ppm(size(array_intersect(a,b)), size(array_union(a,b)))`,
@@ -24,6 +25,29 @@ case class JaccardPpmExpr(left: Expression, right: Expression)
 
   @transient private lazy val elemType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
+
+  /** The boxed-equals dedup is only equivalent to array_intersect/array_union
+    * for element types whose boxed equality IS Spark's set equality: atomic
+    * non-binary types. BinaryType boxes to Array[Byte] (reference equality)
+    * and nested arrays/structs box to Spark internal rows — both would
+    * silently diverge from the built-in oracle, so reject them at analysis.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _)) if lt == rt =>
+        lt match {
+          case StringType | BooleanType | ByteType | ShortType | IntegerType |
+              LongType | FloatType | DoubleType | DateType | TimestampType |
+              _: DecimalType =>
+            TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"jaccard_ppm does not support array<$other> (boxed equality " +
+              "differs from Spark set semantics); use the built-in " +
+              "array_intersect/array_union formulation instead")
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_ppm expects two arrays of one element type, got $l / $r")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     JaccardPpmExpr.compute(

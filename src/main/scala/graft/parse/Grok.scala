@@ -53,11 +53,31 @@ object Grok {
       "%{YEAR}-(?:0[1-9]|1[0-2])-%{MONTHDAY}[T ]%{HOUR}:%{MINUTE}(?::%{SECOND})?(?:Z|[+-]%{HOUR}:?%{MINUTE})?",
     "LOGLEVEL" ->
       "(?:[Tt]race|TRACE|[Dd]ebug|DEBUG|[Ii]nfo|INFO|[Nn]otice|NOTICE|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL)",
+    "QS" -> "%{QUOTEDSTRING}", // logstash QS: captured value INCLUDES quotes
+    "POSINT" -> "\\b(?:[1-9][0-9]*)\\b",
+    "NONNEGINT" -> "\\b(?:[0-9]+)\\b",
+    "URIPROTO" -> "[A-Za-z](?:[A-Za-z0-9+\\-.]+)+",
+    "URIHOST" -> "%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH" -> "(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\\-]*)+",
+    "URIPARAM" -> "\\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\\-\\[\\]<>]*",
+    "URIPATHPARAM" -> "%{URIPATH}(?:%{URIPARAM})?",
+    // syslog preamble (RE2-safe subset: no facility brackets form)
+    "SYSLOGTIMESTAMP" -> "%{MONTH} +%{MONTHDAY} %{TIME}",
+    "SYSLOGHOST" -> "%{IPORHOST}",
+    "PROG" -> "[\\w._/%-]+",
+    "SYSLOGPROG" -> "%{PROG:program}(?:\\[%{POSINT:pid}\\])?",
+    "SYSLOGBASE" ->
+      "%{SYSLOGTIMESTAMP:timestamp} %{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
     // the apache2 access-log format the reference's example config parses
     "COMMONAPACHELOG" ->
       ("%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \\[%{HTTPDATE:timestamp}\\] " +
         "\"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" " +
-        "%{NUMBER:response} (?:%{NUMBER:bytes}|-)"))
+        "%{NUMBER:response} (?:%{NUMBER:bytes}|-)"),
+    // combined format = common + quoted referrer/agent — what the reference
+    // README's canonical `agent`-routing examples parse
+    // (/root/reference/README.md:97-107 route on an `agent` field)
+    "COMBINEDAPACHELOG" ->
+      "%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}")
 
   private val grokRef = Pattern.compile("""%\{(\w+)(?::(\w+))?\}""")
 
@@ -101,18 +121,31 @@ object Grok {
 
     // rewrite every bare capturing '(' to '(?:' — %{NAME:field} refs are the
     // ONLY capturing groups, so each field's group index is stable no matter
-    // how many parens the dictionary bodies or the user expression contain
+    // how many parens the dictionary bodies or the user expression contain.
+    // Named groups '(?<x>' / '(?P<x>' start with '(?' but STILL capture and
+    // would silently shift every field's group index — reject them outright.
+    // Character classes nest in Java ("[a[b]]" is a union), so track depth,
+    // not a boolean.
     def neutralize(s: String): String = {
       val sb = new StringBuilder
       var i = 0
-      var inClass = false // '(' inside [...] is a literal, not a group
+      var classDepth = 0 // '(' inside [...] is a literal, not a group
       while (i < s.length) {
         val c = s.charAt(i)
         if (c == '\\' && i + 1 < s.length) { sb.append(c).append(s.charAt(i + 1)); i += 2 }
-        else if (c == '[' && !inClass) { inClass = true; sb.append(c); i += 1 }
-        else if (c == ']' && inClass) { inClass = false; sb.append(c); i += 1 }
-        else if (c == '(' && !inClass &&
-          (i + 1 >= s.length || s.charAt(i + 1) != '?')) { sb.append("(?:"); i += 1 }
+        else if (c == '[') { classDepth += 1; sb.append(c); i += 1 }
+        else if (c == ']' && classDepth > 0) { classDepth -= 1; sb.append(c); i += 1 }
+        else if (c == '(' && classDepth == 0) {
+          if (i + 1 >= s.length || s.charAt(i + 1) != '?') { sb.append("(?:"); i += 1 }
+          else {
+            val rest = s.substring(i)
+            if ((rest.startsWith("(?<") && !rest.startsWith("(?<=") &&
+                !rest.startsWith("(?<!")) || rest.startsWith("(?P<"))
+              throw new RuleConfigError(
+                s"named capturing group in grok pattern (use %{NAME:field} instead): $s")
+            sb.append(c); i += 1
+          }
+        }
         else { sb.append(c); i += 1 }
       }
       sb.toString

@@ -40,6 +40,54 @@ class GrokSpec extends AnyFunSuite {
     assert(!java.util.regex.Pattern.compile(g.pattern).matcher(":foo)").find())
   }
 
+  test("named capturing groups are rejected; lookbehind-shaped starts aside") {
+    // '(?<x>...)' and '(?P<x>...)' capture despite starting with '(?' — left
+    // in place they would shift every %{NAME:field} group index silently
+    intercept[RuleConfigError](Grok.compile("(?<stolen>x)%{WORD:w}"))
+    intercept[RuleConfigError](Grok.compile("(?P<stolen>x)%{WORD:w}"))
+  }
+
+  test("nested character classes (Java union) keep parens literal") {
+    // Java: [a[(]] is the union {a, (} — depth tracking must not exit the
+    // class at the inner ']' and then mangle the literal '('
+    val g = Grok.compile("[a[(]]%{WORD:w}")
+    val p = java.util.regex.Pattern.compile(g.pattern)
+    val m = p.matcher("(hello")
+    assert(m.find() && m.group(1) == "hello")
+    assert(g.groupIdx.toSeq == Seq(1))
+  }
+
+  test("COMBINEDAPACHELOG: referrer and agent with logstash QS semantics") {
+    val g = Grok.compile("%{COMBINEDAPACHELOG}")
+    val line = "10.0.0.1 - alice [10/Oct/2000:13:55:36 -0700] " +
+      "\"GET /index.html?q=1 HTTP/1.0\" 200 2326 " +
+      "\"http://ref.example/start\" \"Mozilla/5.0 Googlebot-FooBar/2.1\""
+    val out = Seq(line).toDF("l")
+      .select(Grok.extract(col("l"), g).as("g")).select("g.*").collect()(0)
+    assert(out.getAs[String]("clientip") == "10.0.0.1")
+    assert(out.getAs[String]("request") == "/index.html?q=1")
+    assert(out.getAs[String]("response") == "200")
+    assert(out.getAs[String]("bytes") == "2326")
+    // QS captures WITH quotes (logstash semantics)
+    assert(out.getAs[String]("referrer") == "\"http://ref.example/start\"")
+    assert(out.getAs[String]("agent") == "\"Mozilla/5.0 Googlebot-FooBar/2.1\"")
+  }
+
+  test("URIPATHPARAM and SYSLOGBASE expand and match") {
+    val g = Grok.compile("%{URIPATHPARAM:uri}")
+    val m = java.util.regex.Pattern.compile(g.pattern)
+      .matcher("/foo/bar.php?id=1&x=%20y")
+    assert(m.find() && m.group(1) == "/foo/bar.php?id=1&x=%20y")
+    val s = Grok.compile("%{SYSLOGBASE} %{GREEDYDATA:msg}")
+    assert(s.fields.toSeq == Seq("timestamp", "logsource", "program", "pid", "msg"))
+    val sm = java.util.regex.Pattern.compile(s.pattern)
+      .matcher("Oct 10 13:55:36 web01 sshd[4321]: Accepted publickey")
+    assert(sm.find())
+    assert(sm.group(s.groupIdx(s.fields.indexOf("program"))) == "sshd")
+    assert(sm.group(s.groupIdx(s.fields.indexOf("pid"))) == "4321")
+    assert(sm.group(s.groupIdx(s.fields.indexOf("msg"))) == "Accepted publickey")
+  }
+
   test("extract: one-pass struct; non-matching line → null struct") {
     val df = Seq(
       "10.0.0.1 alice 200",

@@ -64,6 +64,66 @@ class RoutingGoldenSpec extends AnyFunSuite {
     assert(r1.getAs[String]("domain") == "news.google.com")
   }
 
+  // --- test "simple" again, through the CONFIG-TEXT surface (C-PARSE): the
+  // reference's verbatim <rule> sections loaded by RuleTableLoader ---------
+  test("simple cascade via conf-text loader: reference config verbatim") {
+    val confText =
+      """<rule>
+        |  key domain
+        |  pattern ^www\.google\.com$
+        |  tag site.Google
+        |</rule>
+        |<rule>
+        |  key domain
+        |  pattern ^news\.google\.com$
+        |  tag site.GoogleNews
+        |</rule>
+        |<rule>
+        |  key agent
+        |  pattern .* Mac OS X .*
+        |  tag agent.MacOSX
+        |</rule>
+        |<rule>
+        |  key agent
+        |  pattern (Googlebot|CustomBot)-([a-zA-Z]+)
+        |  tag agent.$1-$2
+        |</rule>
+        |<rule>
+        |  key domain
+        |  pattern ^(tagtest)\.google\.com$
+        |  tag site.${tag}.$1
+        |</rule>""".stripMargin
+    val (rules, cfg) = RuleTableLoader.fromConf(confText)
+    val df = frame(Seq("domain", "path", "agent", "response_time"), "input.access", Seq(
+      Seq("www.google.com", "/foo/bar?key=value", "Googlebot", "1000000"),
+      Seq("news.google.com", "/", "Googlebot-Mobile", "900000"),
+      Seq("map.google.com", "/", "Macintosh; Intel Mac OS X 10_7_4", "900000"),
+      Seq("labs.google.com", "/", "Mozilla/5.0 Googlebot-FooBar/2.1", "900000"),
+      Seq("tagtest.google.com", "/", "Googlebot", "900000"),
+      Seq("noop.example.com", null, null, null)))
+    val out = routedMap(df, rules, cfg)
+    assert(out.size == 5)
+    assert(out(0)._1 == "site.Google")
+    assert(out(1)._1 == "site.GoogleNews")
+    assert(out(2)._1 == "agent.MacOSX")
+    assert(out(3)._1 == "agent.Googlebot-FooBar")
+    assert(out(4)._1 == "site.input.access.tagtest")
+  }
+
+  // --- hostname_command (:169-186): command output becomes ${hostname} ----
+  test("hostname_command: short-form command output fills ${hostname}") {
+    val confText =
+      """hostname_command echo short-name
+        |<rule>
+        |  key domain
+        |  pattern ^www\..+$
+        |  tag rewritten.${hostname}
+        |</rule>""".stripMargin
+    val (rules, cfg) = RuleTableLoader.fromConf(confText)
+    val df = frame(Seq("domain"), "input.access", Seq(Seq("www.google.com")))
+    assert(routedMap(df, rules, cfg)(0)._1 == "rewritten.short-name")
+  }
+
   // --- remove_tag_prefix (:109-143), both with and without trailing dot --
   test("remove_tag_prefix strips 'input' and 'input.'") {
     val rules = Seq(Rule("domain", "^www\\.google\\.com$", "${tag}"))
@@ -262,6 +322,24 @@ class RoutingGoldenSpec extends AnyFunSuite {
   }
 
   // --- null tag column: both compilations treat it as "" ------------------
+  test("scrub: maximal-subpart replacement vectors (Ruby String#scrub parity)") {
+    import graft.expressions.ScrubToUtf8
+    def s(bytes: Int*): String =
+      ScrubToUtf8.scrub(bytes.map(_.toByte).toArray).toString
+    assert(s(0xff) == "?") // lone invalid byte
+    assert(s(0xe0, 0x80, 0x80) == "???") // E0 + invalid successor: per-byte
+    assert(s(0xe0, 0xa0) == "?") // truncated VALID prefix at EOF: one mark
+    assert(s('a', 0xc3, 't') == "a?t") // truncated 2-byte mid-stream
+    assert(s(0xf0, 0x9f, 0x92) == "?") // truncated VALID 4-byte prefix at EOF
+    assert(s(0xf0, 0x28, 0x8c, 0x28) == "?(?(") // invalid successors interleaved
+    // CESU surrogate: Ruby rejects ED's successor A0 (valid range 80-9F) and
+    // restarts there → per-byte. (JDK's decoder reports the triple as ONE
+    // malformed unit — the reason scrub is hand-rolled, not REPLACE-decoded.)
+    assert(s(0xed, 0xa0, 0x80) == "???")
+    assert(s(0xc0, 0xaf) == "??") // overlong: C0 is never a valid lead
+    assert(s('o', 'k', 0xc3, 0xa9, '!') == "oké!") // valid passthrough
+  }
+
   test("null tag column: fused and column plans agree (null tag = empty)") {
     val schema = StructType(Seq(
       StructField("rid", IntegerType, nullable = false),
