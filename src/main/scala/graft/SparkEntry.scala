@@ -29,12 +29,22 @@ object SparkEntry {
   // ---- shared input shaping -----------------------------------------------
 
   // reads go through the TableIO abstraction (ParquetIO in-sandbox;
-  // IcebergIO on clusters with the runtime jar — SURVEY.md §7.6)
+  // IcebergIO on clusters with the runtime jar — SURVEY.md §7.6).
+  //
+  // The testdata tables are single-row-group parquet files (≤1 MB), so the
+  // scan yields ONE partition and every CPU-heavy sketch (16 md5/shingle,
+  // per-pair jaccard) would run in one task. A 100 TB table scan is
+  // naturally split at row-group granularity; the explicit spread below
+  // recreates that parallelism for the tiny files (and is a ~600 KB shuffle
+  // here — noise). Values are unaffected; the oracle compares sorted rows.
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.sources.ParquetIO.read(s, s"$dir/documents.parquet")
+    spread(s, graft.sources.ParquetIO.read(s, s"$dir/documents.parquet"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    graft.sources.ParquetIO.read(s, s"$dir/embeddings.parquet")
+    spread(s, graft.sources.ParquetIO.read(s, s"$dir/embeddings.parquet"))
 
   /** documents + dot-separated routing tag `tag0` = input.<lang>.<source>. */
   private def docsTagged(s: SparkSession, dir: String): DataFrame =

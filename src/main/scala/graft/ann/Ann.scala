@@ -51,18 +51,33 @@ object Ann {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /** Exact top-k neighbors for each query row, two-stage.
+  /** Shared scoring stage: broadcast the query set, one narrow corpus pass,
+    * (query_id, neighbor_id, sim_ppm) projection — vectors never leave the
+    * map side. Norms precomputed per row (1 dot per pair instead of 3).
+    */
+  private def scoredPairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"), norm(col(vecCol)).as("qn")))
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_ppm", floor(cosinePrenormed(
+        col("qv"), col("cv"), col("qn"), col("cn")) * 1000000.0))
+      .select("query_id", "neighbor_id", "sim_ppm")
+  }
+
+  /** Exact top-k neighbors for each query row, via the bounded
+    * [[graft.expressions.TopKPairsAgg]] aggregate: each map task keeps a
+    * k-element heap per query, so the shuffle carries at most k entries per
+    * (query, map partition) — not the scored candidate set. A window
+    * formulation (even two-stage, [[bruteForceTopKWindow]]) must move every
+    * scored row once; this is the plan that survives top-10-of-10^9.
     *
-    * Stage 1 ranks within `(query_id, spark_partition_id())`: every corpus
-    * partition contributes at most k candidates per query, and the shuffle
-    * that feeds the window is keyed on (query, partition) — balanced across
-    * the cluster no matter how few queries there are. Stage 2 ranks the
-    * k×P survivors per query (tiny). Both stages order by
-    * (sim desc, id asc), a total order, so the final ranks are identical to
-    * the single-window formulation — asserted by the differential spec.
-    *
-    * @param corpus  (idCol, vecCol) big side — scanned once; only the narrow
-    *                (query_id, neighbor_id, sim_ppm) projection shuffles.
+    * @param corpus  (idCol, vecCol) big side — scanned once, never shuffled.
     * @param queries (idCol, vecCol) small side — broadcast.
     * @return (query_id, neighbor_id, rank, sim_ppm) — rank 1..k by
     *         (sim desc, neighbor_id asc); self-matches excluded; sim as
@@ -73,19 +88,30 @@ object Ann {
       queries: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
+      k: Int = 10): DataFrame =
+    scoredPairs(corpus, queries, idCol, vecCol)
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKPairsAgg(col("sim_ppm"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("t.sim_ppm").as("sim_ppm"))
+
+  /** Two-stage WINDOW formulation of [[bruteForceTopK]] — the pure-built-in
+    * differential oracle. Stage 1 ranks within
+    * `(query_id, spark_partition_id())` so no task sorts more than its own
+    * partition's candidates; stage 2 ranks the k×P survivors per query.
+    * Both stages order by (sim desc, id asc), a total order, so results are
+    * identical to the aggregate form (asserted in AnnSpec).
+    */
+  def bruteForceTopKWindow(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
       k: Int = 10): DataFrame = {
-    // norms precomputed per row (1 dot per pair instead of 3)
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv"), norm(col(vecCol)).as("qn")))
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
-      .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim_ppm", floor(cosinePrenormed(
-        col("qv"), col("cv"), col("qn"), col("cn")) * 1000000.0))
-      // pin the producing partition BEFORE the window shuffle; vectors are
-      // projected away here — only ids + sim cross the wire
-      .select(col("query_id"), col("neighbor_id"), col("sim_ppm"),
-        spark_partition_id().as("__part"))
+    val scored = scoredPairs(corpus, queries, idCol, vecCol)
+      // pin the producing partition BEFORE the window shuffle
+      .withColumn("__part", spark_partition_id())
     val order = Seq(col("sim_ppm").desc, col("neighbor_id").asc)
     val wLocal = Window.partitionBy("query_id", "__part").orderBy(order: _*)
     val wGlobal = Window.partitionBy("query_id").orderBy(order: _*)
@@ -124,6 +150,13 @@ object Ann {
     * rerank within. Returns same shape as [[bruteForceTopK]] (rank within
     * the candidate set). Recall < 1 by construction; the accompanying spec
     * measures it against brute force.
+    *
+    * MULTI-PROBE (`probes` > 1): each query also probes the buckets whose
+    * sign bit it was closest to flipping — the planes with the smallest
+    * |dot| margin — the classical multi-probe LSH recall lever. Cost model
+    * at scale: the CORPUS side (the 100 TB side) still lands in exactly one
+    * bucket and shuffles once; only the broadcast query side fans out
+    * ×probes. Recall climbs without any extra plane tables.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -132,13 +165,41 @@ object Ann {
       vecCol: String = "embedding",
       k: Int = 10,
       numPlanes: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= (1 << math.min(numPlanes, 20)),
+      "probes must be in [1, 2^numPlanes]")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val ps = planes(numPlanes, dim, seed)
     val bc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"), bucketKey(col(vecCol), ps).as("bucket"))
-    val bq = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"), bucketKey(col(vecCol), ps).as("bucket")))
+
+    // per-query signed margins to every plane, computed once
+    val dotsArr = array(ps.map(p =>
+      dot(col(vecCol), array(p.map(lit): _*))): _*)
+    val qbase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), dotsArr.as("dots"))
+    val bucket = concat((0 until numPlanes).map(i =>
+      when(element_at(col("dots"), i + 1) >= 0.0, lit("1")).otherwise(lit("0"))): _*)
+    val probeBuckets =
+      if (probes == 1) array(bucket)
+      else {
+        // planes sorted by |margin| ascending: cheapest bits to flip first
+        val byMargin = array_sort(array((0 until numPlanes).map(i =>
+          struct(abs(element_at(col("dots"), i + 1)).as("m"), lit(i).as("i"))): _*))
+        val flipIdx = slice(transform(byMargin, s => s.getField("i")), 1, probes - 1)
+        def flipAt(b: Column, fi: Column): Column = concat(
+          b.substr(lit(1), fi),
+          when(b.substr(fi + 1, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+          b.substr(fi + 2, lit(numPlanes)))
+        concat(array(bucket), transform(flipIdx, fi => flipAt(bucket, fi)))
+      }
+    // query side is small and broadcast — the ×probes fan-out never touches
+    // the corpus; every probe bucket is distinct, so no candidate dedup
+    val bq = broadcast(qbase
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(probeBuckets).as("bucket")))
+
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim_ppm").desc, col("neighbor_id").asc)
     bc.join(bq, Seq("bucket"))

@@ -73,36 +73,43 @@ object Md5MinHashSig {
     false
   }
 
+  private val prefixCache: Array[Array[Byte]] =
+    (0 until 64).map(j => (j.toString + ":").getBytes("UTF-8")).toArray
+
   /** Public so generated code can call it. */
   def compute(shingles: ArrayData, n: Int): GenericArrayData = {
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[Array[Byte]](n)
-    val prefixes = new Array[Array[Byte]](n)
-    var j = 0
-    while (j < n) { prefixes(j) = (j.toString + ":").getBytes("UTF-8"); j += 1 }
+    val prefixes =
+      if (n <= prefixCache.length) prefixCache
+      else (0 until n).map(j => (j.toString + ":").getBytes("UTF-8")).toArray
+    val scratch = new Array[Byte](16) // digest target, reused across calls
     val len = shingles.numElements()
     var i = 0
     while (i < len) {
       val sBytes = shingles.getUTF8String(i).getBytes
-      j = 0
+      var j = 0
       while (j < n) {
         md.reset()
         md.update(prefixes(j))
         md.update(sBytes)
-        val d = md.digest()
-        if (mins(j) == null || less(d, mins(j))) mins(j) = d
+        md.digest(scratch, 0, 16)
+        if (mins(j) == null) mins(j) = java.util.Arrays.copyOf(scratch, 16)
+        else if (less(scratch, mins(j))) {
+          System.arraycopy(scratch, 0, mins(j), 0, 16)
+        }
         j += 1
       }
       i += 1
     }
     val out = new Array[Any](n)
-    j = 0
-    while (j < n) {
+    var o = 0
+    while (o < n) {
       // empty shingle set → null would poison the bands; shingles() never
       // yields an empty array (an empty doc collapses to [""]), so this is
       // unreachable in the pipeline — keep a stable sentinel for direct use
-      out(j) = if (mins(j) == null) UTF8String.fromString("") else toHex(mins(j))
-      j += 1
+      out(o) = if (mins(o) == null) UTF8String.fromString("") else toHex(mins(o))
+      o += 1
     }
     new GenericArrayData(out)
   }

@@ -83,10 +83,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"routing must be a narrow pipeline:\n${routed.queryExecution.executedPlan}")
   }
 
-  test("bruteForceTopK is two-stage: no window partitions the raw corpus on bare query_id") {
+  test("bruteForceTopK aggregates with a bounded heap: no window at all") {
     import org.apache.spark.sql.execution.window.WindowExec
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = graft.ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), k = 5)
+    val nodes = executedNodes(out)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "top-k must be the partial/final aggregate, not a window over the corpus")
+    // TypedImperativeAggregate → ObjectHashAggregate, partial + final
+    val aggs = nodes.filter(_.nodeName.contains("Aggregate"))
+    assert(aggs.count(_.toString.contains("topk_pairs")) >= 2,
+      s"expected partial+final topk_pairs aggregate:\n${out.queryExecution.executedPlan}")
+  }
+
+  test("bruteForceTopKWindow is two-stage: no window partitions the raw corpus on bare query_id") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.ann.Ann.bruteForceTopKWindow(emb, emb.filter(col("vec_id") < 2), k = 5)
     val nodes = executedNodes(out)
     val windows = nodes.collect { case w: WindowExec => w }
     assert(windows.exists(_.partitionSpec.length == 2),

@@ -196,23 +196,38 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
-  test("LSH ANN: same-bucket candidates, recall vs brute force reported") {
+  test("aggregate top-k ≡ two-stage window top-k, every (rank, id, sim)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("sim_ppm"))
+    val agg = Ann.bruteForceTopK(emb, queries, k = 7).collect().map(key).toSet
+    val win = Ann.bruteForceTopKWindow(emb, queries, k = 7).collect().map(key).toSet
+    assert(agg == win)
+    assert(agg.size == 70)
+  }
+
+  test("LSH ANN: same-bucket candidates, multi-probe lifts recall") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Ann.bruteForceTopK(emb, queries, k = 10).collect()
       .groupBy(_.getAs[Long]("query_id"))
       .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
-    val approx = Ann.lshTopK(emb, queries, k = 10, numPlanes = 4).collect()
-      .groupBy(_.getAs[Long]("query_id"))
-      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
-    val recalls = exact.keys.toSeq.map { q =>
-      val a = approx.getOrElse(q, Set.empty)
-      a.intersect(exact(q)).size.toDouble / exact(q).size
+    def recallAt(probes: Int): Double = {
+      val approx = Ann.lshTopK(emb, queries, k = 10, numPlanes = 4, probes = probes)
+        .collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+      assert(approx.values.forall(_.size <= 10))
+      exact.keys.toSeq.map { q =>
+        approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+      }.sum / exact.size
     }
-    val mean = recalls.sum / recalls.size
-    info(f"LSH recall@10 with 4 planes: $mean%.2f")
-    assert(mean > 0.2, s"recall collapsed: $mean") // 4 planes = 16 buckets on 100 vecs
-    // every approx neighbor really is in the query's bucket ⇒ subset sanity
-    assert(approx.values.forall(_.size <= 10))
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    info(f"LSH recall@10, 4 planes: probes=1 $r1%.2f, probes=4 $r4%.2f")
+    assert(r1 > 0.2, s"single-probe recall collapsed: $r1") // 16 buckets, 100 vecs
+    assert(r4 >= r1, "multi-probe must never lose recall")
+    assert(r4 > 0.4, s"4-probe recall floor: $r4")
   }
 
   test("cosine near-dup pairs are symmetric-free and above threshold") {
