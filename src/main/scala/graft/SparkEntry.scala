@@ -292,6 +292,25 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("lang_pred"))
     }),
 
+    // deterministic hash-split sampling (train/val/test) — reproducible,
+    // retry-stable, engine-independent; counts grouped so the oracle also
+    // certifies the split proportions end to end
+    "q_hash_split" -> ((s, dir) => {
+      graft.textops.Sampling.hashSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+    }),
+
+    // document fingerprinting: content hash + winnowing-style representative
+    // shingle hash (min over shingle digests — shift/rotation tolerant)
+    "q_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        array_min(transform(TextFunctions.shingles(col("text"), 3),
+          sh => md5(sh))).as("shingle_fp"))
+    }),
+
     // exact dedup (fingerprint-grouped keeper election)
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(docs(s, dir)).select(
@@ -755,6 +774,30 @@ object SparkEntry {
         |    FROM documents
         |  )
         |)""".stripMargin,
+
+    "q_hash_split" -> {
+      val ts = graft.textops.Sampling.thresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val hexVal = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      s"""SELECT doc_id,
+         |  CASE WHEN b < ${ts(0)._2} THEN '${ts(0)._1}'
+         |       WHEN b < ${ts(1)._2} THEN '${ts(1)._1}'
+         |       ELSE '${ts(2)._1}' END AS split
+         |FROM (
+         |  SELECT doc_id,
+         |    ${hexVal(1)} * 4096 + ${hexVal(2)} * 256
+         |      + ${hexVal(3)} * 16 + ${hexVal(4)} AS b
+         |  FROM (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
+         |        FROM documents)
+         |)""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_fp,
+        |  list_min(list_transform(__SHINGLES__, s -> md5(s))) AS shingle_fp
+        |FROM (SELECT doc_id, text, __WORDS__ AS ws FROM documents)""".stripMargin
+        .replace("__WORDS__", duckWords).replace("__SHINGLES__", duckShingles3),
 
     "q_dedup_exact" ->
       """SELECT doc_id,

@@ -50,6 +50,26 @@ object StreamRouter {
   def sinkCounts(routed: DataFrame): DataFrame =
     Router.sinkCounts(routed)
 
+  /** Streaming exact dedup: keep the first arrival of each content
+    * fingerprint, with STATE BOUNDED BY THE WATERMARK — the streaming analog
+    * of `Dedup.exact`. `dropDuplicatesWithinWatermark` keys state on the
+    * 64-bit fingerprint only (never the text), expires a fingerprint once
+    * the watermark passes it, and therefore holds O(delay × ingest-rate)
+    * state instead of O(corpus) — the only shape that survives an unbounded
+    * 100 TB/day stream. Duplicates separated by more than `delay` are the
+    * batch job's responsibility (run `Dedup.exact` over the sealed table).
+    */
+  def dedupExact(
+      stream: DataFrame,
+      tsCol: String,
+      delay: String,
+      textCol: String = "text"): DataFrame =
+    stream
+      .withColumn("__fp", graft.textops.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Fan-out file sink: append mode, one directory per (label_ns, tag),
     * exactly-once through the streaming commit log at `checkpointDir`.
     */

@@ -46,6 +46,27 @@ class StreamRouterSpec extends AnyFunSuite {
       ("d4", "other.game"), ("d5", "site.apache")))
   }
 
+  test("streaming exact dedup: first arrival kept, watermark bounds state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    val stream = mem.toDF.toDF("doc_id", "ts", "text")
+    val deduped = StreamRouter.dedupExact(stream, "ts", "10 seconds")
+    mem.addData(
+      ("a1", ts(0), "same content"),
+      ("a2", ts(1), "same content"), // dup within watermark → dropped
+      ("b1", ts(2), "other content"),
+      ("a3", ts(3), "same content")) // dup → dropped
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("dedup_stream").select("doc_id")
+      .as[String].collect().toSet
+    assert(kept == Set("a1", "b1"))
+    // text column untouched; fingerprint helper column removed
+    assert(spark.table("dedup_stream").columns.toSeq == Seq("doc_id", "ts", "text"))
+  }
+
   test("streaming per-sink counts converge to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]

@@ -237,6 +237,48 @@ class AnnSpec extends AnyFunSuite {
   }
 }
 
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.textops.Sampling
+
+  private lazy val ids = spark.range(0, 20000).toDF("id")
+
+  test("hash split: deterministic, exhaustive, fraction-accurate") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val once = Sampling.hashSplit(ids, "id", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(once.values.sum == 20000L) // every row labeled
+    // md5 buckets are uniform: 80/10/10 ±1.5 percentage points at n=20k
+    assert(math.abs(once("train") - 16000L) < 300, once.toString)
+    assert(math.abs(once("val") - 2000L) < 300, once.toString)
+    assert(math.abs(once("test") - 2000L) < 300, once.toString)
+    // identical assignment on re-run (same salt), disjoint labels per id
+    val a = Sampling.hashSplit(ids, "id", splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(ids, "id", splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // a different salt re-rolls the split
+    val c = Sampling.hashSplit(ids, "id", splits, salt = "other").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c)
+  }
+
+  test("hash split: validation and threshold exposure") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    assertThrows[IllegalArgumentException](
+      Sampling.thresholds(Seq("a" -> 0.5, "b" -> 0.4)))
+    assertThrows[IllegalArgumentException](Sampling.thresholds(Nil))
+    assert(Sampling.thresholds(Seq("t" -> 0.8, "v" -> 0.2)) ==
+      Seq("t" -> 52428, "v" -> 65536))
+    // pure projection: no shuffle anywhere in the plan
+    val plan = Sampling.hashSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan
+    assert(!plan.exists(_.isInstanceOf[ShuffleExchangeLike]))
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
