@@ -83,6 +83,35 @@ object Dedup {
       transform(TextFunctions.shingles(text, shingleSize), s => xxhash64(s)),
       numHashes)
 
+  /** Candidate pairs from a banded (id, band_key) frame: bucket = docs
+    * sharing a band key; pairs expand inside the bucket row (no self-join);
+    * the bucket-size cap kills degenerate buckets (a quadratic bucket is
+    * exact-duplicate territory — run [[exact]] first). Shared by every LSH
+    * family: only (id, band_key) ever shuffles here.
+    */
+  private def bandedPairs(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
+      .groupBy("band_key").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+  /** Join candidate pairs back to their (heavy) shingle sets and keep the
+    * exact-Jaccard survivors — the verification stage shared by both
+    * MinHash families.
+    */
+  private def verifyJaccard(
+      pairs: DataFrame, withSets: DataFrame, thresholdPpm: Long): DataFrame =
+    pairs
+      .join(withSets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(withSets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard_ppm", jaccardPpm(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select("id_a", "id_b", "jaccard_ppm")
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * @param maxBucket drop LSH buckets larger than this (a degenerate value,
@@ -126,24 +155,7 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         xxhash64(slice(col("mh"), b * r + 1, r), lit(b))): _*)).as("band_key"))
 
-    // bucket = docs sharing a band key; candidate pairs expand inside the
-    // bucket row (no self-join). Cap kills degenerate buckets (would be
-    // quadratic); run `exact` first — those are exact-dup territory.
-    val pairs = banded
-      .groupBy("band_key").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("ids"), x =>
-        transform(filter(col("ids"), y => y > x),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-
-    pairs
-      .join(withSets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-      .join(withSets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard_ppm", jaccardPpm(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard_ppm") >= thresholdPpm)
-      .select("id_a", "id_b", "jaccard_ppm")
+    verifyJaccard(bandedPairs(banded, maxBucket), withSets, thresholdPpm)
   }
 
   /** Exact Jaccard (ppm) of two arrays (distinct-set semantics). Production
@@ -190,25 +202,18 @@ object Dedup {
       transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band blocking, Hamming-distance
-    * verification ≤ maxHamming. Same bucket-cap rationale as MinHash.
+  /** SimHash banding + in-bucket Hamming verify, shared by both hash
+    * families. Band b = 16-char slice at position 1 + 16b; signatures are
+    * 64 chars — cheap enough to carry into the bucket and verify in place
+    * (no join-back needed, unlike MinHash shingle sets). Hamming emitted as
+    * long (oracle-schema friendly).
     */
-  def simHashPairs(
-      df: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      maxHamming: Int = 8,
-      maxBucket: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHashBits(col(textCol)).as("sig"))
-    // band b = 16-char slice at position 1 + 16b; sig referenced 4× so the
-    // signature projection is not inlined (see minHashLshPairs note)
+  private def simHashBandedPairs(
+      sigs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     val banded = sigs.select(
       struct(col("id"), col("sig")).as("ds"),
       explode(array((0 until 4).map(bd =>
         concat(lit(s"$bd:"), substring(col("sig"), 1 + bd * 16, 16))): _*)).as("band_key"))
-
-    // signatures are 64 chars — cheap enough to carry into the bucket and
-    // verify in place (no join-back needed, unlike MinHash shingle sets)
     banded
       .groupBy("band_key").agg(collect_list(col("ds")).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
@@ -220,10 +225,25 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hammingBits(col("sig_a"), col("sig_b")))
+      .withColumn("hamming", hammingBits(col("sig_a"), col("sig_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking, Hamming-distance
+    * verification ≤ maxHamming. Same bucket-cap rationale as MinHash.
+    * The signature projection keeps `sig` referenced 4× so it is not
+    * inlined (see minHashLshPairs note).
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 8,
+      maxBucket: Int = 1000): DataFrame =
+    simHashBandedPairs(
+      df.select(col(idCol).as("id"), simHashBits(col(textCol)).as("sig")),
+      maxHamming, maxBucket)
 
   /** Hamming distance between two equal-length bitstrings (one-pass
     * codegen'd expression; [[hammingBitsSql]] is the differential oracle).
@@ -277,21 +297,7 @@ object Dedup {
         concat(lit(s"$b:"), concat_ws("|", slice(col("mh"), b * r + 1, r)))): _*))
         .as("band_key"))
 
-    val pairs = banded
-      .groupBy("band_key").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("ids"), x =>
-        transform(filter(col("ids"), y => y > x),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-
-    pairs
-      .join(withSets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-      .join(withSets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard_ppm", jaccardPpm(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard_ppm") >= thresholdPpm)
-      .select("id_a", "id_b", "jaccard_ppm")
+    verifyJaccard(bandedPairs(banded, maxBucket), withSets, thresholdPpm)
   }
 
   /** [[simHashBits]] under the md5 hash family: word hash = first 8 bytes of
@@ -309,27 +315,10 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 8,
-      maxBucket: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHashBitsPortable(col(textCol)).as("sig"))
-    val banded = sigs.select(
-      struct(col("id"), col("sig")).as("ds"),
-      explode(array((0 until 4).map(bd =>
-        concat(lit(s"$bd:"), substring(col("sig"), 1 + bd * 16, 16))): _*)).as("band_key"))
-    banded
-      .groupBy("band_key").agg(collect_list(col("ds")).as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("ds"), x =>
-        transform(filter(col("ds"), y => y.getField("id") > x.getField("id")),
-          y => struct(
-            x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hammingBits(col("sig_a"), col("sig_b")).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-  }
+      maxBucket: Int = 1000): DataFrame =
+    simHashBandedPairs(
+      df.select(col(idCol).as("id"), simHashBitsPortable(col(textCol)).as("sig")),
+      maxHamming, maxBucket)
 
   /** Exact word-set Jaccard pairs within blocks (same blocking value and
     * close length) — small-block exact near-dup, SQL-mirrorable.
