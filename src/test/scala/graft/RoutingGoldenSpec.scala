@@ -110,6 +110,69 @@ class RoutingGoldenSpec extends AnyFunSuite {
     assert(out(4)._1 == "site.input.access.tagtest")
   }
 
+  // --- test "non matching" (:188-213): invert rule catches missing field --
+  test("non matching: invert-first cascade, missing field rides the invert arm") {
+    val (rules, cfg) = RuleTableLoader.fromConf(
+      """<rule>
+        |  key domain
+        |  pattern ^www\..+$
+        |  tag not_start_with_www
+        |  invert true
+        |</rule>
+        |<rule>
+        |  key domain
+        |  pattern ^www\..+$
+        |  tag start_with_www
+        |</rule>""".stripMargin)
+    val df = frame(Seq("domain", "path"), "input.access", Seq(
+      Seq("www.google.com", null),
+      Seq(null, "/"), // missing domain → invert arm
+      Seq("maps.google.com", null)))
+    val out = routedMap(df, rules, cfg)
+    assert(out.size == 3)
+    assert(out(0)._1 == "start_with_www")
+    assert(out(1)._1 == "not_start_with_www")
+    assert(out(2)._1 == "not_start_with_www")
+  }
+
+  // --- test "split by tag" (:215-253): the 4-rule ${tag_parts} fixture -----
+  test("split by tag: reference fixture verbatim through the conf loader") {
+    val (rules, cfg) = RuleTableLoader.fromConf(
+      """<rule>
+        |  key user_name
+        |  pattern ^Lynn Minmay$
+        |  tag vip.${tag_parts[1]}.remember_love
+        |</rule>
+        |<rule>
+        |  key user_name
+        |  pattern ^Harlock$
+        |  tag ${tag_parts[2]}.${tag_parts[0]}.${tag_parts[1]}
+        |</rule>
+        |<rule>
+        |  key  world
+        |  pattern ^(alice|chaos)$
+        |  tag application.${tag_parts[0]}.$1_server
+        |</rule>
+        |<rule>
+        |  key world
+        |  pattern ^[a-z]+$
+        |  tag application.${tag_parts[1]}.future_server
+        |</rule>""".stripMargin)
+    val df = frame(Seq("user_id", "world", "user_name"), "game.production.api", Seq(
+      Seq("10000", "chaos", "gamagoori"),
+      Seq("10001", "chaos", "sanageyama"),
+      Seq("10002", "nehan", "inumuta"),
+      Seq("77777", "space", "Lynn Minmay"),
+      Seq("99999", "space", "Harlock")))
+    val out = routedMap(df, rules, cfg)
+    assert(out.size == 5)
+    assert(out(0)._1 == "application.game.chaos_server")
+    assert(out(1)._1 == "application.game.chaos_server")
+    assert(out(2)._1 == "application.production.future_server")
+    assert(out(3)._1 == "vip.production.remember_love")
+    assert(out(4)._1 == "api.game.production")
+  }
+
   // --- hostname_command (:169-186): command output becomes ${hostname} ----
   test("hostname_command: short-form command output fills ${hostname}") {
     val confText =
