@@ -9,10 +9,15 @@ object Bench {
     * differentials, so no oracle entry is owed).
     */
   private def extras: Map[String, (SparkSession, String) => DataFrame] = {
+    // same single-row-group spread as SparkEntry's readers — otherwise the
+    // fast variants run in ONE task while their md5 twins use every core,
+    // inverting the comparison these numbers exist to make
     def docs(s: SparkSession, dir: String) =
       graft.sources.ParquetIO.read(s, s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
     def emb(s: SparkSession, dir: String) =
       graft.sources.ParquetIO.read(s, s"$dir/embeddings.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
     import org.apache.spark.sql.functions.col
     Map(
       "x_dedup_minhash_fast" -> ((s, dir) =>
@@ -22,7 +27,7 @@ object Bench {
       "x_embed_ann_multiprobe" -> ((s, dir) => {
         val e = emb(s, dir)
         graft.ann.Ann.lshTopK(e, e.filter(col("vec_id") < 3),
-          k = 10, numPlanes = 6, probes = 8)
+          k = 10, numPlanes = 6, probes = 7)
       }))
   }
   def main(args: Array[String]): Unit = {

@@ -41,8 +41,12 @@ object RuleTableLoader {
     * (out_rewrite_tag_filter.rb:40 — backticks + String#chomp).
     */
   def hostnameFromCommand(cmd: String): String = {
-    val proc = new ProcessBuilder("/bin/sh", "-c", cmd)
-      .redirectErrorStream(false).start()
+    // stderr is DISCARDED, not piped: a child blocked on a full stderr pipe
+    // while we read stdout to EOF deadlocks both processes (same bug class
+    // as ScalingBench.runLevelJvm)
+    val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     val code = proc.waitFor()
     if (code != 0)
@@ -106,7 +110,10 @@ object RuleTableLoader {
     *   label   @ALT
     * </rule>
     * }}}
-    * `#` starts a comment; params split on first whitespace.
+    * Comments are FULL-LINE only (`#` first non-blank char); an inline `#`
+    * is part of the value — a rule pattern like `/^ERROR #\d+$/` must not be
+    * truncated at the `#`. Params split on first whitespace; the value runs
+    * to end of line.
     */
   def fromConf(text: String): (Seq[Rule], RoutingConfig) = {
     val top = scala.collection.mutable.Map.empty[String, String]
@@ -114,7 +121,7 @@ object RuleTableLoader {
     var inRule: Option[scala.collection.mutable.Map[String, String]] = None
 
     text.linesIterator.zipWithIndex.foreach { case (raw, i) =>
-      val line = raw.replaceFirst("(^|\\s)#.*$", "$1").trim
+      val line = if (raw.trim.startsWith("#")) "" else raw.trim
       val where = s"line ${i + 1}"
       if (line.nonEmpty) line match {
         case "<rule>" =>

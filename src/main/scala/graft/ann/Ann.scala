@@ -153,7 +153,9 @@ object Ann {
     *
     * MULTI-PROBE (`probes` > 1): each query also probes the buckets whose
     * sign bit it was closest to flipping — the planes with the smallest
-    * |dot| margin — the classical multi-probe LSH recall lever. Cost model
+    * |dot| margin — the classical multi-probe LSH recall lever. Single-bit
+    * flips only, so at most `numPlanes + 1` buckets exist to probe (the
+    * require enforces it rather than silently probing fewer). Cost model
     * at scale: the CORPUS side (the 100 TB side) still lands in exactly one
     * bucket and shuffles once; only the broadcast query side fans out
     * ×probes. Recall climbs without any extra plane tables.
@@ -167,8 +169,9 @@ object Ann {
       numPlanes: Int = 8,
       seed: Long = 42L,
       probes: Int = 1): DataFrame = {
-    require(probes >= 1 && probes <= (1 << math.min(numPlanes, 20)),
-      "probes must be in [1, 2^numPlanes]")
+    require(probes >= 1 && probes <= numPlanes + 1,
+      s"probes must be in [1, numPlanes + 1 = ${numPlanes + 1}]: " +
+        "single-bit flips reach exactly numPlanes neighbor buckets")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val ps = planes(numPlanes, dim, seed)
     val bc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

@@ -40,12 +40,16 @@ object Dedup {
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
     val keepers = df
-      .select(fp.as("__fp"), col(idCol).as("keeper_id"))
-      .groupBy("__fp").agg(min("keeper_id").as("keeper_id"))
+      .select(fp.as("__kfp"), col(idCol).as("keeper_id"))
+      .groupBy("__kfp").agg(min("keeper_id").as("keeper_id"))
+    // null-SAFE join: a null text fingerprints to null, and SQL window/group
+    // semantics put all nulls in ONE group (the DuckDB oracle's
+    // `partition by text` does too) — an equi-join would silently DROP those
+    // rows instead of electing a keeper among them
     df.withColumn("__fp", fp)
-      .join(keepers, Seq("__fp"))
+      .join(keepers, col("__fp") <=> col("__kfp"))
       .withColumn("is_dup", col("keeper_id") =!= col(idCol))
-      .drop("__fp")
+      .drop("__fp", "__kfp")
   }
 
   /** MinHash signature from a pre-hashed shingle array: for each of

@@ -56,7 +56,10 @@ object Grok {
     "QS" -> "%{QUOTEDSTRING}", // logstash QS: captured value INCLUDES quotes
     "POSINT" -> "\\b(?:[1-9][0-9]*)\\b",
     "NONNEGINT" -> "\\b(?:[0-9]+)\\b",
-    "URIPROTO" -> "[A-Za-z](?:[A-Za-z0-9+\\-.]+)+",
+    // NOT logstash's `[A-Za-z]([A-Za-z0-9+\-.]+)+`: that nested quantifier
+    // is a known exponential-backtracking (ReDoS) shape on non-matching
+    // input; the star form matches the same language in linear time
+    "URIPROTO" -> "[A-Za-z][A-Za-z0-9+\\-.]*",
     "URIHOST" -> "%{IPORHOST}(?::%{POSINT})?",
     "URIPATH" -> "(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\\-]*)+",
     "URIPARAM" -> "\\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\\-\\[\\]<>]*",
@@ -130,12 +133,23 @@ object Grok {
       val sb = new StringBuilder
       var i = 0
       var classDepth = 0 // '(' inside [...] is a literal, not a group
+      // 1 = just after '[', 2 = just after '[^', 0 = elsewhere; a ']' in
+      // state 1/2 is a LITERAL class member in Java ("[]]" matches ']')
+      var atStart = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == '\\' && i + 1 < s.length) { sb.append(c).append(s.charAt(i + 1)); i += 2 }
-        else if (c == '[') { classDepth += 1; sb.append(c); i += 1 }
-        else if (c == ']' && classDepth > 0) { classDepth -= 1; sb.append(c); i += 1 }
+        if (c == '\\' && i + 1 < s.length) {
+          atStart = 0
+          sb.append(c).append(s.charAt(i + 1)); i += 2
+        }
+        else if (c == '[') { classDepth += 1; atStart = 1; sb.append(c); i += 1 }
+        else if (c == '^' && atStart == 1) { atStart = 2; sb.append(c); i += 1 }
+        else if (c == ']' && classDepth > 0 && atStart == 0) {
+          classDepth -= 1; sb.append(c); i += 1
+        }
+        else if (c == ']' && atStart != 0) { atStart = 0; sb.append(c); i += 1 } // literal ]
         else if (c == '(' && classDepth == 0) {
+          atStart = 0
           if (i + 1 >= s.length || s.charAt(i + 1) != '?') { sb.append("(?:"); i += 1 }
           else {
             val rest = s.substring(i)
@@ -146,7 +160,7 @@ object Grok {
             sb.append(c); i += 1
           }
         }
-        else { sb.append(c); i += 1 }
+        else { atStart = 0; sb.append(c); i += 1 }
       }
       sb.toString
     }

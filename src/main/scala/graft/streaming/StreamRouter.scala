@@ -58,6 +58,9 @@ object StreamRouter {
     * state instead of O(corpus) — the only shape that survives an unbounded
     * 100 TB/day stream. Duplicates separated by more than `delay` are the
     * batch job's responsibility (run `Dedup.exact` over the sealed table).
+    * Null text fingerprints to null, which dropDuplicates treats as ONE key:
+    * all null-text events in a window collapse to the first arrival — the
+    * same null-grouping as batch `Dedup.exact` and SQL window partitioning.
     */
   def dedupExact(
       stream: DataFrame,

@@ -57,6 +57,18 @@ class GrokSpec extends AnyFunSuite {
     assert(g.groupIdx.toSeq == Seq(1))
   }
 
+  test("leading ']' in a class is a literal member (Java []] / [^]] forms)") {
+    // "[](]" is ONE Java class matching ']' or '(' — the '(' inside must
+    // stay literal, and the class must not be considered closed at "[]"
+    val g = Grok.compile("[](]%{WORD:w}")
+    val p = java.util.regex.Pattern.compile(g.pattern)
+    assert(p.matcher("(ok").find())
+    assert(p.matcher("]ok").find())
+    assert(!p.matcher("?ok").find(), "class leaked: '(' was rewritten to '(?:'")
+    val neg = Grok.compile("[^]]%{WORD:w}")
+    assert(java.util.regex.Pattern.compile(neg.pattern).matcher("?ok").find())
+  }
+
   test("COMBINEDAPACHELOG: referrer and agent with logstash QS semantics") {
     val g = Grok.compile("%{COMBINEDAPACHELOG}")
     val line = "10.0.0.1 - alice [10/Oct/2000:13:55:36 -0700] " +

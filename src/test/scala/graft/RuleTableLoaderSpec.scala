@@ -13,12 +13,13 @@ class RuleTableLoaderSpec extends AnyFunSuite {
   private val conf =
     """# comment line
       |capitalize_regex_backreference true
-      |remove_tag_prefix input   # trailing comment
+      |remove_tag_prefix input
       |<rule>
       |  key     domain
       |  pattern /^www\.(.+)\.com$/
       |  tag     site.$1
       |</rule>
+      |# a full-line comment between sections
       |<rule>
       |  key     status
       |  pattern ^5\d\d$
@@ -35,6 +36,16 @@ class RuleTableLoaderSpec extends AnyFunSuite {
       Rule("domain", "/^www\\.(.+)\\.com$/", "site.$1"),
       Rule("status", "^5\\d\\d$", "alert.${tag}", label = Some("ALERT"), invert = true)))
     assert(rules.head.normalizedPattern == "^www\\.(.+)\\.com$")
+  }
+
+  test("comments are full-line only: an inline '#' is part of the value") {
+    val (rules, _) = RuleTableLoader.fromConf(
+      """<rule>
+        |  key     message
+        |  pattern /^ERROR #\d+$/
+        |  tag     errors.numbered
+        |</rule>""".stripMargin)
+    assert(rules.head.normalizedPattern == "^ERROR #\\d+$")
   }
 
   test("JSON: same surface, order preserved, null label") {

@@ -101,6 +101,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out("d4") == ("d4", false))
   }
 
+  test("exact dedup keeps null-text rows as one dup group (SQL null semantics)") {
+    import spark.implicits._
+    val df = Seq(("n1", Option("x")), ("n2", None), ("n3", None))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[String]("keeper_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out.size == 3, "null-text rows must never be dropped")
+    assert(out("n2") == ("n2", false)) // keeper among the nulls
+    assert(out("n3") == ("n2", true)) // null texts group together, like the oracle
+    assert(out("n1") == ("n1", false))
+  }
+
   test("minhash LSH finds near-dup pairs and verifies jaccard") {
     val pairs = Dedup.minHashLshPairs(corpus, thresholdPpm = 500000L)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -228,6 +241,10 @@ class AnnSpec extends AnyFunSuite {
     assert(r1 > 0.2, s"single-probe recall collapsed: $r1") // 16 buckets, 100 vecs
     assert(r4 >= r1, "multi-probe must never lose recall")
     assert(r4 > 0.4, s"4-probe recall floor: $r4")
+    // single-bit flips reach exactly numPlanes+1 buckets; asking for more
+    // must fail loudly, not silently probe fewer
+    assertThrows[IllegalArgumentException](
+      Ann.lshTopK(emb, queries, numPlanes = 4, probes = 6))
   }
 
   test("cosine near-dup pairs are symmetric-free and above threshold") {
