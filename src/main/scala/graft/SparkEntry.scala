@@ -318,6 +318,34 @@ object SparkEntry {
         col("is_dup").cast("long").as("is_dup"))
     }),
 
+    // the composed curation pass: quality-gate × language allowlist ×
+    // exact-dedup keeper filter × deterministic split — what a training
+    // pipeline actually runs over a raw crawl, end to end in one plan
+    "q_curation" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      val deduped = Dedup.exact(scored)
+      graft.textops.Sampling.hashSplit(deduped, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("quality") >= 40 &&
+          col("lang_pred").isin("en", "de", "fr", "es", "zh") && !col("is_dup"))
+        .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
+    }),
+
+    // PII redaction over deterministically PII-augmented text (both engines
+    // build the identical augmented string, then redact with the same RE2
+    // patterns — email, IPv4, phone)
+    "q_redact" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("aug", concat(
+          col("text"), lit(" Contact user"), col("doc_id"),
+          lit("@mail-"), col("lang"), lit(".example from 10.1."),
+          pmod(col("doc_id"), lit(256)), lit(".7 or +1 (555) 010-"),
+          (lit(1000) + pmod(col("doc_id"), lit(9000)))))
+        .select(col("doc_id"), TextFunctions.redact(col("aug")).as("clean"))
+    }),
+
     // blocked n-gram (word-set) Jaccard near-dup pairs
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -461,6 +489,84 @@ object SparkEntry {
     "list_aggregate(list_transform(range(1, 17), " +
       "i -> lpad(bin(strpos('0123456789abcdef', substr(md5(w), CAST(i AS INT), 1)) - 1), 4, '0')), " +
       "'string_agg', '')"
+
+  /** doc_id → quality score (mirrors TextFunctions.qualityScore exactly);
+    * shared by q_text_quality and the q_curation composition.
+    */
+  private val duckQualitySub = {
+    val nWords = "CASE WHEN trim(text) = '' THEN 0 " +
+      "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    s"""(SELECT doc_id, n_chars, n_words, punct_ppm, stopword_ppm,
+       |   greatest(0, least(100,
+       |     least(n_words, 40) + least(stopword_ppm // 10000, 30)
+       |     + 30 - least(punct_ppm // 10000, 30))) AS quality
+       | FROM (
+       |   SELECT doc_id,
+       |     len(text) AS n_chars,
+       |     $nWords AS n_words,
+       |     CASE WHEN len(text) = 0 THEN 0
+       |          ELSE CAST(floor(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+       |               * 1000000.0 / len(text)) AS BIGINT) END AS punct_ppm,
+       |     CASE WHEN ($nWords) = 0 THEN 0
+       |          ELSE CAST(floor(
+       |             len(regexp_extract_all(lower(text), '\\b(the|a|an|of|and|or|is|to|in)\\b'))
+       |             * 1000000.0 / ($nWords)) AS BIGINT) END AS stopword_ppm
+       |   FROM documents
+       | ))""".stripMargin
+  }
+
+  /** doc_id → lang_pred (mirrors TextFunctions.langId); shared likewise. */
+  private val duckLangIdSub =
+    """(SELECT doc_id,
+      |   CASE
+      |     WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |     WHEN h_en = best AND best > 0 THEN 'en'
+      |     WHEN h_de = best AND best > 0 THEN 'de'
+      |     WHEN h_fr = best AND best > 0 THEN 'fr'
+      |     WHEN h_es = best AND best > 0 THEN 'es'
+      |     ELSE 'und'
+      |   END AS lang_pred
+      | FROM (
+      |   SELECT doc_id, text, h_en, h_de, h_fr, h_es,
+      |          greatest(h_en, h_de, h_fr, h_es) AS best
+      |   FROM (
+      |     SELECT doc_id, text,
+      |       len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|with|that)\b')) AS h_en,
+      |       len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS h_de,
+      |       len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|pas|avec)\b')) AS h_fr,
+      |       len(regexp_extract_all(lower(text), '\b(el|los|las|es|y|no|con)\b')) AS h_es
+      |     FROM documents
+      |   )
+      | ))""".stripMargin
+
+  /** doc_id → keeper/dup flags (SQL null-grouping, like Dedup.exact). */
+  private val duckDedupSub =
+    """(SELECT doc_id,
+      |   min(doc_id) OVER (PARTITION BY text) AS keeper_id,
+      |   CAST(doc_id <> min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS is_dup
+      | FROM documents)""".stripMargin
+
+  /** doc_id → split label (mirrors Sampling.hashSplit 80/10/10, salt
+    * "graft"); thresholds come from the same Sampling.thresholds call the
+    * engine uses.
+    */
+  private val duckSplitSub = {
+    val ts = graft.textops.Sampling.thresholds(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val hexVal = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""(SELECT doc_id,
+       |   CASE WHEN b < ${ts(0)._2} THEN '${ts(0)._1}'
+       |        WHEN b < ${ts(1)._2} THEN '${ts(1)._1}'
+       |        ELSE '${ts(2)._1}' END AS split
+       | FROM (
+       |   SELECT doc_id,
+       |     ${hexVal(1)} * 4096 + ${hexVal(2)} * 256
+       |       + ${hexVal(3)} * 16 + ${hexVal(4)} AS b
+       |   FROM (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
+       |         FROM documents)
+       | ))""".stripMargin
+  }
 
   /** Left-to-right IEEE double dot product — bit-identical to the codegen'd
     * DotDouble expression (same element casts, same summation order).
@@ -729,69 +835,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_text_quality" ->
-      """SELECT doc_id, n_chars, n_words, punct_ppm, stopword_ppm,
-        |  greatest(0, least(100,
-        |    least(n_words, 40) + least(stopword_ppm // 10000, 30)
-        |    + 30 - least(punct_ppm // 10000, 30))) AS quality
-        |FROM (
-        |  SELECT doc_id,
-        |    len(text) AS n_chars,
-        |    CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
-        |    CASE WHEN len(text) = 0 THEN 0
-        |         ELSE CAST(floor(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-        |              * 1000000.0 / len(text)) AS BIGINT) END AS punct_ppm,
-        |    CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0
-        |         ELSE CAST(floor(
-        |            len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|is|to|in)\b'))
-        |            * 1000000.0
-        |            / (CASE WHEN trim(text) = '' THEN 0
-        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END))
-        |          AS BIGINT) END AS stopword_ppm
-        |  FROM documents
-        |)""".stripMargin,
+      s"SELECT doc_id, n_chars, n_words, punct_ppm, stopword_ppm, quality FROM $duckQualitySub",
 
     "q_lang_id" ->
-      """SELECT doc_id,
-        |  CASE
-        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |    WHEN h_en = best AND best > 0 THEN 'en'
-        |    WHEN h_de = best AND best > 0 THEN 'de'
-        |    WHEN h_fr = best AND best > 0 THEN 'fr'
-        |    WHEN h_es = best AND best > 0 THEN 'es'
-        |    ELSE 'und'
-        |  END AS lang_pred
-        |FROM (
-        |  SELECT doc_id, text, h_en, h_de, h_fr, h_es,
-        |         greatest(h_en, h_de, h_fr, h_es) AS best
-        |  FROM (
-        |    SELECT doc_id, text,
-        |      len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|with|that)\b')) AS h_en,
-        |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS h_de,
-        |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|pas|avec)\b')) AS h_fr,
-        |      len(regexp_extract_all(lower(text), '\b(el|los|las|es|y|no|con)\b')) AS h_es
-        |    FROM documents
-        |  )
-        |)""".stripMargin,
+      s"SELECT doc_id, lang_pred FROM $duckLangIdSub",
 
-    "q_hash_split" -> {
-      val ts = graft.textops.Sampling.thresholds(
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      val hexVal = (i: Int) =>
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
-      s"""SELECT doc_id,
-         |  CASE WHEN b < ${ts(0)._2} THEN '${ts(0)._1}'
-         |       WHEN b < ${ts(1)._2} THEN '${ts(1)._1}'
-         |       ELSE '${ts(2)._1}' END AS split
-         |FROM (
-         |  SELECT doc_id,
-         |    ${hexVal(1)} * 4096 + ${hexVal(2)} * 256
-         |      + ${hexVal(3)} * 16 + ${hexVal(4)} AS b
-         |  FROM (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
-         |        FROM documents)
-         |)""".stripMargin
-    },
+    "q_hash_split" ->
+      s"SELECT doc_id, split FROM $duckSplitSub",
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_fp,
@@ -800,10 +850,32 @@ object SparkEntry {
         .replace("__WORDS__", duckWords).replace("__SHINGLES__", duckShingles3),
 
     "q_dedup_exact" ->
-      """SELECT doc_id,
-        |  min(doc_id) OVER (PARTITION BY text) AS keeper_id,
-        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS is_dup
-        |FROM documents""".stripMargin,
+      s"SELECT doc_id, keeper_id, is_dup FROM $duckDedupSub",
+
+    // quality × lang-ID × dedup × split composed — the realistic curation
+    // pass a training pipeline runs over a raw crawl
+    "q_curation" ->
+      s"""SELECT q.doc_id, l.lang_pred, q.quality, s.split
+         |FROM $duckQualitySub q
+         |JOIN $duckLangIdSub l ON q.doc_id = l.doc_id
+         |JOIN $duckDedupSub d ON q.doc_id = d.doc_id
+         |JOIN $duckSplitSub s ON q.doc_id = s.doc_id
+         |WHERE q.quality >= 40
+         |  AND l.lang_pred IN ('en', 'de', 'fr', 'es', 'zh')
+         |  AND d.is_dup = 0""".stripMargin,
+
+    "q_redact" -> {
+      val chain = TextFunctions.redactionPatterns.foldLeft("aug") {
+        case (inner, (token, pat)) => s"regexp_replace($inner, '$pat', '$token', 'g')"
+      }
+      s"""SELECT doc_id, $chain AS clean
+         |FROM (
+         |  SELECT doc_id, text || ' Contact user' || doc_id || '@mail-' || lang
+         |    || '.example from 10.1.' || (doc_id % 256) || '.7 or +1 (555) 010-'
+         |    || (1000 + doc_id % 9000) AS aug
+         |  FROM documents
+         |)""".stripMargin
+    },
 
     "q_ngram_jaccard" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -91,6 +91,27 @@ object TextFunctions {
     when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(folded)
   }
 
+  /** PII redaction patterns — all RE2-safe (no lookaround/backrefs) so the
+    * DuckDB oracle applies the identical regex. Deliberately conservative
+    * recall (a training-data scrub favors precision: over-redaction destroys
+    * signal); swap/extend per corpus policy.
+    */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    // email before IP: an email's domain may contain digit runs
+    "<EMAIL>" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "<IP>" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    "<PHONE>" -> "\\+[0-9][0-9 ()-]{6,}[0-9]")
+
+  /** Replace every occurrence of each PII pattern with its token, in the
+    * fixed order above (stable composition: earlier redactions can't create
+    * later matches because tokens contain no pattern characters). Pure
+    * codegen'd `regexp_replace` chain — no UDFs.
+    */
+  def redact(text: Column): Column =
+    redactionPatterns.foldLeft(text) { case (c, (token, pat)) =>
+      regexp_replace(c, pat, token)
+    }
+
   /** 64-bit FNV-1a document fingerprint (custom codegen'd expression). */
   def fingerprint(text: Column): Column =
     graft.expressions.FnvHash64(text)

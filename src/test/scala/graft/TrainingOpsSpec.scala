@@ -60,6 +60,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got("b") == 0xcbf29ce484222325L) // offset basis for empty input
   }
 
+  test("PII redaction: email, IPv4, phone → tokens; clean text untouched") {
+    val df = Seq(
+      ("a", "reach me at jane.doe+spam@sub.example.org today"),
+      ("b", "server 192.168.1.250 timed out; retry 10.0.0.1"),
+      ("c", "call +1 (555) 010-9999 or +44 20 7946 0958 now"),
+      ("d", "nothing sensitive here, just 42 and v1.2 words"),
+      ("e", "mixed: bob@x.io at 8.8.8.8 tel +1 555-010-1234"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.redact(col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == "reach me at <EMAIL> today")
+    assert(got("b") == "server <IP> timed out; retry <IP>")
+    assert(got("c") == "call <PHONE> or <PHONE> now")
+    assert(got("d") == "nothing sensitive here, just 42 and v1.2 words")
+    assert(got("e") == "mixed: <EMAIL> at <IP> tel <PHONE>")
+  }
+
   test("shingles") {
     val df = Seq(("a", "a b c d"), ("b", "x y")).toDF("id", "text")
     val got = df.select(col("id"), TextFunctions.shingles(col("text"), 3).as("s"))
