@@ -44,14 +44,23 @@ object ScalingBench {
     val jvms = sys.env.getOrElse("SPARK_GRAFT_SCALE_JVMS", "2").toInt
     val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/root/repo/target/scaling")
+    // "flagship" (north rule: parse→route→aggregate) or "dedup" (exact
+    // keeper election + MinHash LSH pairs over the synthetic documents
+    // table) — same two-level protocol, different timed job
+    val workload = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORKLOAD", "flagship")
 
     // materialize input once (its own session, excluded from timing)
     val genSession = ScalingBenchLevel.session(big)
-    val inputPath = Synth.materialize(genSession, rows, workDir)
+    val inputPath = workload match {
+      case "flagship" => Synth.materialize(genSession, rows, workDir)
+      case "dedup"    => Synth.materializeDocuments(genSession, rows, workDir)
+      case other => throw new IllegalArgumentException(s"unknown workload: $other")
+    }
     genSession.stop()
 
     val results = Seq(small, big).map { k =>
-      val (sec, emitted) = (1 to jvms).map(_ => runLevelJvm(k, inputPath, reps))
+      val (sec, emitted) = (1 to jvms)
+        .map(_ => runLevelJvm(k, inputPath, reps, workload))
         .minBy(_._1)
       (k, sec, emitted, emitted / sec)
     }
@@ -60,13 +69,15 @@ object ScalingBench {
     val eff = (t2 / t1) / (k2.toDouble / k1)
     println(
       s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
-        s""""rows":$n1,"levels":{"local[$k1]":{"sec":${f"$s1%.3f"},"rows_per_sec":${t1.toLong}},""" +
+        s""""workload":"$workload","rows":$n1,""" +
+        s""""levels":{"local[$k1]":{"sec":${f"$s1%.3f"},"rows_per_sec":${t1.toLong}},""" +
         s""""local[$k2]":{"sec":${f"$s2%.3f"},"rows_per_sec":${t2.toLong}}},""" +
         s""""requirement":"efficiency >= 0.8"}""")
   }
 
   /** Fork a fresh JVM sized to k cores for one level; parse its result. */
-  private def runLevelJvm(k: Int, inputPath: String, reps: Int): (Double, Long) = {
+  private def runLevelJvm(
+      k: Int, inputPath: String, reps: Int, workload: String): (Double, Long) = {
     val javaBin = sys.props("java.home") + "/bin/java"
     val inherited = {
       import scala.jdk.CollectionConverters._
@@ -77,7 +88,7 @@ object ScalingBench {
     val cmd = Seq(javaBin) ++ inherited ++ Seq(
       s"-XX:ActiveProcessorCount=$k",
       "-cp", sys.props("java.class.path"),
-      "graft.ScalingBenchLevel", k.toString, inputPath, reps.toString)
+      "graft.ScalingBenchLevel", k.toString, inputPath, reps.toString, workload)
     val pb = new ProcessBuilder(cmd: _*)
     // stderr goes to a temp file, NOT a pipe: Spark logs to stderr, and a
     // child blocked on a full stderr pipe while the parent reads stdout to
@@ -105,21 +116,39 @@ object ScalingBench {
 object ScalingBenchLevel {
 
   def main(args: Array[String]): Unit = {
-    val Array(kStr, inputPath, repsStr) = args
+    val Array(kStr, inputPath, repsStr, workload) = args
     val k = kStr.toInt
     val reps = repsStr.toInt
     val spark = session(k)
     val df = spark.read.parquet(inputPath)
-    val plan = Pipelines.flagshipPlan(df)
-    val lookup = Pipelines.tagLookup(spark)
 
-    def once(): (Double, Long) = {
-      val obs = Observation()
-      val t0 = System.nanoTime()
-      Router.enrichCounts(
-        Router.sinkCounts(Router.routeObserved(df, plan, obs)), lookup).collect()
-      val sec = (System.nanoTime() - t0) / 1e9
-      (sec, obs.get("emitted").asInstanceOf[Long])
+    val once: () => (Double, Long) = workload match {
+      case "flagship" =>
+        val plan = Pipelines.flagshipPlan(df)
+        val lookup = Pipelines.tagLookup(spark)
+        () => {
+          val obs = Observation()
+          val t0 = System.nanoTime()
+          Router.enrichCounts(
+            Router.sinkCounts(Router.routeObserved(df, plan, obs)), lookup).collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, obs.get("emitted").asInstanceOf[Long])
+        }
+      case "dedup" =>
+        // exact keeper election + MinHash LSH pair mining, the two dedup
+        // shapes (aggregate+join; sketch→band→bucket→verify); throughput
+        // denominator = input documents
+        val inputRows = df.count()
+        import org.apache.spark.sql.functions.col
+        () => {
+          val t0 = System.nanoTime()
+          graft.dedup.Dedup.exact(df).filter(col("is_dup")).count()
+          graft.dedup.Dedup.minHashLshPairs(df,
+            numHashes = 16, bands = 4, thresholdPpm = 500000L).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, inputRows)
+        }
+      case other => throw new IllegalArgumentException(s"unknown workload: $other")
     }
 
     once() // warm-up (JIT + codegen + page cache)

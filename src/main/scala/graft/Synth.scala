@@ -54,6 +54,42 @@ object Synth {
       .select("doc_id", "tokens", "n_tok", "source")
   }
 
+  /** n deterministic DOCUMENT rows `(doc_id:long, text:string, lang:string,
+    * n_chars:long)` with a CONTROLLED duplicate structure, for scaling the
+    * dedup operators:
+    *  - ids ≡ 0,1,2 (mod 8) share one 40-word text (exact-dup clusters of 3);
+    *  - id ≡ 3 (mod 8) is a NEAR-dup of that cluster (same words + one extra);
+    *  - ids ≡ 4..7 are unique texts.
+    * Pure column expressions keyed on id — identical at any parallelism.
+    */
+  def documents(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): DataFrame = {
+    val langs = array(Seq("en", "de", "fr", "es", "zh").map(lit): _*)
+    (if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n))
+      .withColumn("r", pmod(col("id"), lit(8)))
+      // word-base: the id whose word stream this row copies
+      .withColumn("wb", when(col("r") <= 3, col("id") - col("r")).otherwise(col("id")))
+      .withColumn("body", concat_ws(" ",
+        transform(sequence(lit(0), lit(39)),
+          i => concat(lit("w"), pmod(xxhash64(col("wb"), i, lit(seed)), lit(5000))))))
+      .select(
+        col("id").as("doc_id"),
+        when(col("r") === 3, concat(col("body"), lit(" zz"), col("id")))
+          .otherwise(col("body")).as("text"),
+        get(langs, pmod(xxhash64(col("id"), lit(seed + 7)), lit(5)).cast("int")).as("lang"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Write-once documents table (see [[materialize]] rationale). */
+  def materializeDocuments(spark: SparkSession, n: Long, dir: String,
+      seed: Long = 42L, partitions: Int = 256): String = {
+    val path = s"$dir/documents_n${n}_s${seed}_p$partitions"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      documents(spark, n, seed, partitions).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   /** Write-once helper for benches: synthesize to parquet if absent, return
     * path. Reading from disk makes N-vs-4N timing measure the pipeline, not
     * the generator.

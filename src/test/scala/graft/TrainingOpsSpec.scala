@@ -194,6 +194,30 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class SynthDocumentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("documents synthesis: deterministic, controlled dup structure") {
+    val d = Synth.documents(spark, 800)
+    val rows = d.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.size == 800)
+    // ids 0,1,2 (mod 8) share a text; 3 is a near-dup; 4..7 unique
+    assert(rows(0L) == rows(1L) && rows(1L) == rows(2L))
+    assert(rows(3L) == rows(0L) + " zz3")
+    assert(rows(4L) != rows(5L) && rows(4L) != rows(0L))
+    assert(rows(8L) == rows(9L) && rows(8L) != rows(0L))
+    // identical across invocations and partitionings
+    val again = Synth.documents(spark, 800, partitions = 7).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(again == rows)
+    // the dedup ops find exactly the planted structure
+    val dups = graft.dedup.Dedup.exact(d, "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("is_dup")).count()
+    assert(dups == 200) // 2 dups per 8-row block
+  }
+}
+
 class AnnSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
