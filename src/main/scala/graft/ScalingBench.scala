@@ -2,11 +2,19 @@ package graft
 
 import org.apache.spark.sql.{Observation, SparkSession}
 
-/** Two-parallelism-level scaling evidence for the north rule: the same
-  * flagship parse→route→aggregate job, identical on-disk input, run at
-  * local[N] and local[4N] (the sandbox proxy for N vs 4N executors —
-  * BASELINE.md protocol). Reports rows/sec at both levels and the scaling
-  * efficiency (throughput_4N / throughput_N) / 4, required ≥ 0.8.
+/** Two-parallelism-level scaling evidence: the same job, identical on-disk
+  * input, run at local[N] and local[4N] (the sandbox proxy for N vs 4N
+  * executors — BASELINE.md protocol). Reports rows/sec at both levels and
+  * the scaling efficiency (throughput_4N / throughput_N) / 4, required ≥ 0.8.
+  *
+  * Two workloads (`SPARK_GRAFT_SCALE_WORKLOAD`):
+  *  - `flagship` (default): the north rule's parse→route→per-sink-count→
+  *    enrichment pipeline over the sequence table; throughput = emitted
+  *    (routed) rows/sec from the observe metric; default 256M rows.
+  *  - `dedup`: exact keeper election + MinHash-LSH pair mining over the
+  *    synthetic documents table (planted dup clusters); throughput = input
+  *    documents/sec; default 4M rows (the shuffle-heavy LSH job does ~60×
+  *    more work per row than the flagship's narrow map).
   *
   * Method notes:
   *  - input is materialized to parquet once and re-read (generation cost
@@ -30,7 +38,12 @@ import org.apache.spark.sql.{Observation, SparkSession}
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "256000000").toLong
+    // "flagship" (north rule: parse→route→aggregate) or "dedup" (exact
+    // keeper election + MinHash LSH pairs over the synthetic documents
+    // table) — same two-level protocol, different timed job and row default
+    val workload = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORKLOAD", "flagship")
+    val defaultRows = if (workload == "dedup") "4000000" else "256000000"
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", defaultRows).toLong
     // default N=4 (levels 4 and 16): executor-realistic core counts that
     // keep 4N at half the host's 32 cores — the full-machine 8/32 pairing
     // measures the host's other tenants as much as the engine (BASELINE.md
@@ -44,10 +57,6 @@ object ScalingBench {
     val jvms = sys.env.getOrElse("SPARK_GRAFT_SCALE_JVMS", "2").toInt
     val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/root/repo/target/scaling")
-    // "flagship" (north rule: parse→route→aggregate) or "dedup" (exact
-    // keeper election + MinHash LSH pairs over the synthetic documents
-    // table) — same two-level protocol, different timed job
-    val workload = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORKLOAD", "flagship")
 
     // materialize input once (its own session, excluded from timing)
     val genSession = ScalingBenchLevel.session(big)
