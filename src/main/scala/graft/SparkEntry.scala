@@ -333,6 +333,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
     }),
 
+    // KMV distinct-count sketch per language: bounded mergeable state
+    // (k smallest md5s), deterministic estimate the oracle recomputes
+    // exactly — the cross-engine-verifiable alternative to HLL
+    "q_kmv_distinct" -> ((s, dir) => {
+      graft.sketch.Kmv.distinctByGroup(docs(s, dir), "lang", "text", k = 64)
+    }),
+
     // PII redaction over deterministically PII-augmented text (both engines
     // build the identical augmented string, then redact with the same RE2
     // patterns — email, IPv4, phone)
@@ -863,6 +870,28 @@ object SparkEntry {
          |WHERE q.quality >= 40
          |  AND l.lang_pred IN ('en', 'de', 'fr', 'es', 'zh')
          |  AND d.is_dup = 0""".stripMargin,
+
+    "q_kmv_distinct" -> {
+      val k = 64
+      // value of the first 13 hex chars (52 bits — exact in a double)
+      val hex13 = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 13 - i).toLong}"
+      ).mkString(" + ")
+      s"""WITH hashes AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+         |ranked AS (SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |  FROM hashes),
+         |nd AS (SELECT lang, count(*) AS n_distinct FROM hashes GROUP BY lang),
+         |kth AS (SELECT lang, $hex13 AS v FROM ranked WHERE rn = $k),
+         |nr AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang)
+         |SELECT nr.lang, nr.n_rows,
+         |  CASE WHEN nd.n_distinct < $k THEN nd.n_distinct
+         |       ELSE CAST(floor(${(k - 1).toDouble * graft.sketch.Kmv.Scale}
+         |            / greatest(CAST(kth.v AS DOUBLE), 1.0)) AS BIGINT)
+         |  END AS distinct_est
+         |FROM nr JOIN nd ON nr.lang = nd.lang
+         |LEFT JOIN kth ON nr.lang = kth.lang""".stripMargin
+    },
 
     "q_redact" -> {
       val chain = TextFunctions.redactionPatterns.foldLeft("aug") {

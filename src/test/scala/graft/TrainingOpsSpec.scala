@@ -295,6 +295,45 @@ class AnnSpec extends AnyFunSuite {
   }
 }
 
+class KmvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.sketch.Kmv
+  import spark.implicits._
+
+  test("KMinStringsAgg: k smallest DISTINCT values, sorted, merge-correct") {
+    val vals = (1 to 500).map(i => s"v${i % 97}%03d") // 97 distinct, many dups
+    val df = vals.toDF("v").repartition(13) // force partial/final merging
+    val got = df.agg(graft.expressions.KMinStringsAgg(col("v"), 10).as("kmin"))
+      .collect()(0).getSeq[String](0)
+    val want = vals.distinct.sorted.take(10)
+    assert(got == want)
+    // fewer distinct values than k → all of them
+    val small = Seq("b", "a", "b", "c").toDF("v")
+      .agg(graft.expressions.KMinStringsAgg(col("v"), 10))
+      .collect()(0).getSeq[String](0)
+    assert(small == Seq("a", "b", "c"))
+  }
+
+  test("KMV distinct estimate: exact under k, ~1/sqrt(k) accuracy over it") {
+    val n = 20000
+    val trueDistinct = 3000
+    val df = spark.range(n).select(
+      lit("g").as("g"), concat(lit("doc"), pmod(col("id"), lit(trueDistinct))).as("text"))
+    val est = Kmv.distinctByGroup(df, "g", "text", k = 64)
+      .collect()(0).getAs[Long]("distinct_est")
+    val err = math.abs(est - trueDistinct).toDouble / trueDistinct
+    info(f"KMV k=64: est=$est true=$trueDistinct err=${err * 100}%.1f%%")
+    assert(err < 0.4, s"estimate too far off: $est vs $trueDistinct")
+    // exact path: < k distinct values in the group
+    val exact = Kmv.distinctByGroup(
+      spark.range(500).select(lit("g").as("g"),
+        concat(lit("x"), pmod(col("id"), lit(40))).as("text")),
+      "g", "text", k = 64).collect()(0)
+    assert(exact.getAs[Long]("distinct_est") == 40L)
+    assert(exact.getAs[Long]("n_rows") == 500L)
+  }
+}
+
 class SamplingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import graft.textops.Sampling
