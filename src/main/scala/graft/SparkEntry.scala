@@ -557,19 +557,24 @@ object SparkEntry {
     * "graft"); thresholds come from the same Sampling.thresholds call the
     * engine uses.
     */
+  /** Value of the first `n` hex chars of a column named `h` (big-endian
+    * nibbles) — shared by the hash-split and KMV oracles. n ≤ 15 keeps the
+    * sum inside BIGINT.
+    */
+  private def duckHexPrefix(n: Int): String =
+    (1 to n).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, n - i).toLong}"
+    ).mkString(" + ")
+
   private val duckSplitSub = {
     val ts = graft.textops.Sampling.thresholds(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-    val hexVal = (i: Int) =>
-      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
     s"""(SELECT doc_id,
        |   CASE WHEN b < ${ts(0)._2} THEN '${ts(0)._1}'
        |        WHEN b < ${ts(1)._2} THEN '${ts(1)._1}'
        |        ELSE '${ts(2)._1}' END AS split
        | FROM (
-       |   SELECT doc_id,
-       |     ${hexVal(1)} * 4096 + ${hexVal(2)} * 256
-       |       + ${hexVal(3)} * 16 + ${hexVal(4)} AS b
+       |   SELECT doc_id, ${duckHexPrefix(4)} AS b
        |   FROM (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
        |         FROM documents)
        | ))""".stripMargin
@@ -873,11 +878,11 @@ object SparkEntry {
 
     "q_kmv_distinct" -> {
       val k = 64
-      // value of the first 13 hex chars (52 bits — exact in a double)
-      val hex13 = (1 to 13).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 13 - i).toLong}"
-      ).mkString(" + ")
-      s"""WITH hashes AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+      // value of the first 13 hex chars (52 bits — exact in a double);
+      // nulls excluded like the aggregate's null-skipping update()
+      val hex13 = duckHexPrefix(13)
+      s"""WITH hashes AS (SELECT DISTINCT lang, md5(text) AS h FROM documents
+         |               WHERE text IS NOT NULL),
          |ranked AS (SELECT lang, h,
          |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
          |  FROM hashes),

@@ -41,20 +41,30 @@ case class KMinStringsAgg(
     new java.util.TreeSet[UTF8String]()
 
   // UTF8String from an UnsafeRow may point into task-reused buffers — copy
-  // the bytes on retention
-  private def owned(v: UTF8String): UTF8String =
-    UTF8String.fromBytes(v.getBytes.clone())
+  // the bytes on retention. getBytes already returns a fresh array unless
+  // the string spans its backing byte[] exactly; clone only in that case.
+  private def owned(v: UTF8String): UTF8String = {
+    val bytes = v.getBytes
+    if (bytes.asInstanceOf[AnyRef] eq v.getBaseObject)
+      UTF8String.fromBytes(bytes.clone())
+    else UTF8String.fromBytes(bytes)
+  }
 
-  private def add(b: java.util.TreeSet[UTF8String], v: UTF8String): Unit = {
-    // insert only if it would rank among the k smallest (set dedups)
-    if (b.size < k) { b.add(owned(v)); () }
-    else if (v.compareTo(b.last) < 0 && b.add(owned(v))) { b.pollLast(); () }
+  /** Insert only if it would rank among the k smallest (set dedups);
+    * `copy` = false for values this aggregate already owns (merge /
+    * deserialize paths), true for row-backed input.
+    */
+  private def add(
+      b: java.util.TreeSet[UTF8String], v: UTF8String, copy: Boolean): Unit = {
+    def retained = if (copy) owned(v) else v
+    if (b.size < k) { b.add(retained); () }
+    else if (v.compareTo(b.last) < 0 && b.add(retained)) { b.pollLast(); () }
   }
 
   override def update(
       b: java.util.TreeSet[UTF8String], input: InternalRow): java.util.TreeSet[UTF8String] = {
     val v = child.eval(input)
-    if (v != null) add(b, v.asInstanceOf[UTF8String])
+    if (v != null) add(b, v.asInstanceOf[UTF8String], copy = true)
     b
   }
 
@@ -62,7 +72,7 @@ case class KMinStringsAgg(
       b: java.util.TreeSet[UTF8String],
       o: java.util.TreeSet[UTF8String]): java.util.TreeSet[UTF8String] = {
     val it = o.iterator()
-    while (it.hasNext) add(b, it.next())
+    while (it.hasNext) add(b, it.next(), copy = false)
     b
   }
 

@@ -114,6 +114,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch aggregates partial+final (bounded state crosses the shuffle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.sketch.Kmv.distinctByGroup(docs, "lang", "text", k = 16)
+    val nodes = executedNodes(out)
+    val aggs = nodes.filter(_.nodeName.contains("Aggregate"))
+    assert(aggs.count(_.toString.contains("kmin_strings")) >= 2,
+      s"expected partial+final kmin_strings aggregate:\n${out.queryExecution.executedPlan}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.length == 1, "one exchange: the partial→final agg boundary")
+  }
+
   test("exact dedup elects keepers via partial+final aggregate, not a window") {
     import org.apache.spark.sql.execution.window.WindowExec
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

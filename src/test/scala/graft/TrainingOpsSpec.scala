@@ -301,7 +301,7 @@ class KmvSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("KMinStringsAgg: k smallest DISTINCT values, sorted, merge-correct") {
-    val vals = (1 to 500).map(i => s"v${i % 97}%03d") // 97 distinct, many dups
+    val vals = (1 to 500).map(i => f"v${i % 97}%03d") // 97 distinct, many dups
     val df = vals.toDF("v").repartition(13) // force partial/final merging
     val got = df.agg(graft.expressions.KMinStringsAgg(col("v"), 10).as("kmin"))
       .collect()(0).getSeq[String](0)
