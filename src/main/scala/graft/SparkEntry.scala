@@ -333,6 +333,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
     }),
 
+    // corpus analytics: top-10 terms per language by frequency. The window
+    // ranks the AGGREGATED (lang, word) counts — vocabulary-bounded, not
+    // corpus-bounded — after a partial+final count absorbs the raw volume
+    "q_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, dir)
+        .select(col("lang"), explode(TextFunctions.words(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("word").asc)
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("lang", "word", "n", "rank")
+    }),
+
     // KMV distinct-count sketch per language: bounded mergeable state
     // (k smallest md5s), deterministic estimate the oracle recomputes
     // exactly — the cross-engine-verifiable alternative to HLL
@@ -875,6 +889,17 @@ object SparkEntry {
          |WHERE q.quality >= 40
          |  AND l.lang_pred IN ('en', 'de', 'fr', 'es', 'zh')
          |  AND d.is_dup = 0""".stripMargin,
+
+    "q_top_terms" ->
+      """SELECT lang, word, n, rank FROM (
+        |  SELECT lang, word, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
+        |  FROM (
+        |    SELECT lang, w AS word, count(*) AS n
+        |    FROM (SELECT lang, unnest(__WORDS__) AS w FROM documents)
+        |    GROUP BY 1, 2
+        |  )
+        |) WHERE rank <= 10""".stripMargin.replace("__WORDS__", duckWords),
 
     "q_kmv_distinct" -> {
       val k = 64
