@@ -9,23 +9,16 @@ object Bench {
     * differentials, so no oracle entry is owed).
     */
   private def extras: Map[String, (SparkSession, String) => DataFrame] = {
-    // same single-row-group spread as SparkEntry's readers — otherwise the
-    // fast variants run in ONE task while their md5 twins use every core,
-    // inverting the comparison these numbers exist to make
-    def docs(s: SparkSession, dir: String) =
-      graft.sources.ParquetIO.read(s, s"$dir/documents.parquet")
-        .repartition(s.sparkContext.defaultParallelism)
-    def emb(s: SparkSession, dir: String) =
-      graft.sources.ParquetIO.read(s, s"$dir/embeddings.parquet")
-        .repartition(s.sparkContext.defaultParallelism)
     import org.apache.spark.sql.functions.col
+    // SparkEntry's readers, so the fast variants get the same
+    // single-row-group spread as the md5 twins they are compared against
     Map(
       "x_dedup_minhash_fast" -> ((s, dir) =>
-        graft.dedup.Dedup.minHashLshPairs(docs(s, dir), thresholdPpm = 400000L)),
+        graft.dedup.Dedup.minHashLshPairs(SparkEntry.docs(s, dir), thresholdPpm = 400000L)),
       "x_dedup_simhash_fast" -> ((s, dir) =>
-        graft.dedup.Dedup.simHashPairs(docs(s, dir), maxHamming = 12)),
+        graft.dedup.Dedup.simHashPairs(SparkEntry.docs(s, dir), maxHamming = 12)),
       "x_embed_ann_multiprobe" -> ((s, dir) => {
-        val e = emb(s, dir)
+        val e = SparkEntry.emb(s, dir)
         graft.ann.Ann.lshTopK(e, e.filter(col("vec_id") < 3),
           k = 10, numPlanes = 6, probes = 7)
       }))
@@ -65,7 +58,7 @@ object Bench {
     println(json)
     System.out.flush()
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/target/bench_result.json")
+      sys.props("user.dir") + "/target/bench_result.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -200,7 +200,14 @@ object RuleTableLoader {
     Seq("rule_order", "key", "pattern", "tag").foreach(c =>
       if (!cols.contains(c))
         throw new RuleConfigError(s"rule-table DataFrame is missing column '$c'"))
-    df.orderBy("rule_order").collect().toSeq.map { row =>
+    val collected = df.orderBy("rule_order").collect().toSeq
+    // rule_order IS the first-match order — a duplicate would make the
+    // cascade winner depend on an unstable sort
+    val orderVals = collected.map(r => r.get(r.fieldIndex("rule_order")))
+    if (orderVals.distinct.length != orderVals.length)
+      throw new RuleConfigError(
+        s"duplicate rule_order values in rule-table DataFrame: $orderVals")
+    collected.map { row =>
       def opt(c: String): Option[String] =
         if (cols.contains(c) && !row.isNullAt(row.fieldIndex(c)))
           Some(row.get(row.fieldIndex(c)).toString)

@@ -40,10 +40,13 @@ object SparkEntry {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  // package-visible: Bench's extra (non-oracled) variants must read through
+  // the SAME spread, or the fast-vs-portable comparison skews (one task vs
+  // all cores on the single-row-group testdata)
+  private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     spread(s, graft.sources.ParquetIO.read(s, s"$dir/documents.parquet"))
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     spread(s, graft.sources.ParquetIO.read(s, s"$dir/embeddings.parquet"))
 
   /** documents + dot-separated routing tag `tag0` = input.<lang>.<source>. */
@@ -95,6 +98,16 @@ object SparkEntry {
       |  invert  true
       |  tag     confrest.${hostname}.${tag}
       |</rule>""".stripMargin
+
+  /** Written once per JVM, removed on exit — the query exercises the real
+    * file-loading path without leaking a temp file per invocation.
+    */
+  private lazy val confTableFile: String = {
+    val f = java.nio.file.Files.createTempFile("graft_rules", ".conf")
+    java.nio.file.Files.write(f, confTableText.getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
 
   // ---- grok parse stage (north rule: "grok/regex parse") ------------------
 
@@ -232,9 +245,7 @@ object SparkEntry {
     // C-PARSE: route via a rule table loaded from a Fluentd-shape config
     // FILE (loader → validate → compile → route, end to end)
     "q_route_conf_table" -> ((s, dir) => {
-      val f = java.nio.file.Files.createTempFile("graft_rules", ".conf")
-      java.nio.file.Files.write(f, confTableText.getBytes("UTF-8"))
-      val (rules, cfg) = RuleTableLoader.fromConfFile(f.toString)
+      val (rules, cfg) = RuleTableLoader.fromConfFile(confTableFile)
       Router.route(docsTagged(s, dir), rules, cfg, "tag0")
         .select(col("doc_id"), col("new_tag"), col("new_label"))
     }),
@@ -915,12 +926,13 @@ object SparkEntry {
          |kth AS (SELECT lang, $hex13 AS v FROM ranked WHERE rn = $k),
          |nr AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang)
          |SELECT nr.lang, nr.n_rows,
-         |  CASE WHEN nd.n_distinct < $k THEN nd.n_distinct
+         |  CASE WHEN coalesce(nd.n_distinct, 0) < $k THEN coalesce(nd.n_distinct, 0)
          |       ELSE CAST(floor(${(k - 1).toDouble * graft.sketch.Kmv.Scale}
          |            / greatest(CAST(kth.v AS DOUBLE), 1.0)) AS BIGINT)
          |  END AS distinct_est
-         |FROM nr JOIN nd ON nr.lang = nd.lang
-         |LEFT JOIN kth ON nr.lang = kth.lang""".stripMargin
+         |FROM nr
+         |LEFT JOIN nd ON nr.lang IS NOT DISTINCT FROM nd.lang
+         |LEFT JOIN kth ON nr.lang IS NOT DISTINCT FROM kth.lang""".stripMargin
     },
 
     "q_redact" -> {

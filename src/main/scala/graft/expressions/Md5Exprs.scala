@@ -31,7 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * and to the same expression in DuckDB SQL.
   */
 case class Md5MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
-  require(numHashes > 0)
+  require(numHashes > 0 && numHashes <= Md5MinHashSig.MaxHashes,
+    s"md5_minhash_sig supports 1..${Md5MinHashSig.MaxHashes} hash functions " +
+      "(the per-function prefix table is cached; a larger n would rebuild it per row)")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "md5_minhash_sig"
@@ -73,16 +75,16 @@ object Md5MinHashSig {
     false
   }
 
+  final val MaxHashes = 64
+
   private val prefixCache: Array[Array[Byte]] =
-    (0 until 64).map(j => (j.toString + ":").getBytes("UTF-8")).toArray
+    (0 until MaxHashes).map(j => (j.toString + ":").getBytes("UTF-8")).toArray
 
   /** Public so generated code can call it. */
   def compute(shingles: ArrayData, n: Int): GenericArrayData = {
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[Array[Byte]](n)
-    val prefixes =
-      if (n <= prefixCache.length) prefixCache
-      else (0 until n).map(j => (j.toString + ":").getBytes("UTF-8")).toArray
+    val prefixes = prefixCache // n ≤ MaxHashes enforced at construction
     val scratch = new Array[Byte](16) // digest target, reused across calls
     val len = shingles.numElements()
     var i = 0

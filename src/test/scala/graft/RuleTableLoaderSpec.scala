@@ -76,6 +76,11 @@ class RuleTableLoaderSpec extends AnyFunSuite {
     assert(rules(1) == Rule("k2", "p2", "t2", label = Some("L2"), invert = true))
     val noOrder = df.drop("rule_order")
     assertThrows[RuleConfigError](RuleTableLoader.fromDataFrame(noOrder))
+    // duplicate order = nondeterministic first-match winner → rejected
+    val dup = Seq(
+      (1, "k1", "p1", "tA"), (1, "k1", "p1x", "tB"))
+      .toDF("rule_order", "key", "pattern", "tag")
+    assertThrows[RuleConfigError](RuleTableLoader.fromDataFrame(dup))
   }
 
   test("legacy rewriterule<n> syntax is rejected with the reference's error") {
