@@ -160,7 +160,8 @@ object Router {
       outDir: String,
       salt: Int = 16,
       saltKey: String = "doc_id",
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L,
+      format: String = "parquet"): Unit = {
     val withNs = routed
       .withColumn("new_label_ns", coalesce(col(NewLabel), lit(DefaultLabel)))
     val salted =
@@ -181,6 +182,7 @@ object Router {
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("new_label_ns", NewTag)
-      .parquet(outDir)
+      .format(format)
+      .save(outDir)
   }
 }

@@ -73,6 +73,31 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.ParquetIO.read(s, s"$dir/events.parquet")
 
+  /** Events re-encoded as newline-delimited JSON, written once per (JVM,
+    * sf-dir) — the input fixture for the JSON-lines SOURCE path (both
+    * engines derive from the same events table, so the oracle reads the
+    * parquet directly).
+    */
+  private val jsonLinesDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsAsJsonLines(s: SparkSession, dir: String): String =
+    jsonLinesDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+      out.toFile.deleteOnExit()
+      events(s, dir)
+        .select(to_json(struct(col("event_id"), col("event_type"), col("props")))
+          .as("value"))
+        .write.mode("overwrite").text(out.toString)
+      out.toString
+    })
+
+  private val jsonLinesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("props",
+      org.apache.spark.sql.types.StringType)))
+
   /** Fluentd-style rule-table config text (C-PARSE): loaded through
     * RuleTableLoader.fromConfFile at query time — the file-loader path is
     * part of what the oracle certifies.
@@ -484,6 +509,22 @@ object SparkEntry {
         Rule("kval", "^(6[0-9])$", "sixty.$1"),
         Rule("kval", "^[0-9]$", "single.${tag_parts[1]}"),
         Rule("kval", "^$", "other.${tag}", invert = true))
+      Router.route(df, rules, RoutingConfig(), "tag0")
+        .select(col("event_id"), col("new_tag"))
+    }),
+
+    // JSON-lines SOURCE end to end: events serialized to newline-delimited
+    // JSON, read back through JsonLinesIO with an explicit schema, routed —
+    // the Fluentd-native wire format as a first-class input
+    "q_json_lines_route" -> ((s, dir) => {
+      val src = new graft.sources.JsonLinesIO(jsonLinesSchema)
+      val df = src.read(s, eventsAsJsonLines(s, dir))
+        .withColumn("tag0", concat(lit("jl."), col("event_type")))
+        .withColumn("kval", get_json_object(col("props"), "$.k"))
+      val rules = Seq(
+        Rule("event_type", "^(click|purchase)$", "money.$1"),
+        Rule("kval", "^([0-9])$", "single.${tag_parts[1]}.$1"),
+        Rule("kval", "^$", "bulk.${tag}", invert = true))
       Router.route(df, rules, RoutingConfig(), "tag0")
         .select(col("event_id"), col("new_tag"))
     }),
@@ -1067,6 +1108,25 @@ object SparkEntry {
          |    END AS new_tag
          |  FROM (
          |    SELECT event_id, 'ev.' || event_type AS tag0,
+         |           json_extract_string(props, '$$.k') AS kval
+         |    FROM events
+         |  )
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
+
+    "q_json_lines_route" ->
+      s"""SELECT event_id, new_tag FROM (
+         |  SELECT event_id, tag0,
+         |    CASE
+         |      WHEN coalesce(event_type,'') <> '' AND regexp_matches(event_type, '^(click|purchase)$$')
+         |        THEN 'money.' || regexp_extract(event_type, '^(click|purchase)$$', 1)
+         |      WHEN coalesce(kval,'') <> '' AND regexp_matches(kval, '^([0-9])$$')
+         |        THEN 'single.' || split_part(tag0, '.', 2) || '.'
+         |             || regexp_extract(kval, '^([0-9])$$', 1)
+         |      WHEN NOT regexp_matches(coalesce(kval,''), '^$$')
+         |        THEN 'bulk.' || tag0
+         |    END AS new_tag
+         |  FROM (
+         |    SELECT event_id, event_type, 'jl.' || event_type AS tag0,
          |           json_extract_string(props, '$$.k') AS kval
          |    FROM events
          |  )

@@ -45,14 +45,22 @@ object ParquetIO extends TableIO {
     * files below subdirectories, so a top-level-only listing would
     * fingerprint every partitioned table to the same empty-list hash.
     */
-  override def versionId(spark: SparkSession, table: String): String = {
+  override def versionId(spark: SparkSession, table: String): String =
+    FileTreeFingerprint(table, ".parquet")
+}
+
+/** Shared recursive (relative path, size) fingerprint for directory-backed
+  * sources (parquet, JSON-lines).
+  */
+private[sources] object FileTreeFingerprint {
+  def apply(table: String, suffix: String): String = {
     val root = java.nio.file.Paths.get(table)
     val files = {
       val s = java.nio.file.Files.walk(root)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          .filter(p => p.getFileName.toString.endsWith(suffix) &&
             !p.getFileName.toString.startsWith("."))
           .map(p => root.relativize(p).toString -> p.toFile.length())
           .toVector.sorted
@@ -62,6 +70,28 @@ object ParquetIO extends TableIO {
     java.lang.Long.toHexString(graft.expressions.FnvHash64.hash(
       canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
+}
+
+/** Newline-delimited JSON — the Fluentd ecosystem's native wire format (the
+  * reference's records ARE parsed JSON events). Reading takes an EXPLICIT
+  * schema: schema inference is a second full scan at 100 TB and makes the
+  * column types depend on the data sample; a log pipeline pins its schema.
+  * Unparseable lines land in `_corrupt_record` (PERMISSIVE) rather than
+  * failing the job — the streaming-ingest-friendly default.
+  */
+final class JsonLinesIO(schema: org.apache.spark.sql.types.StructType)
+    extends TableIO {
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.schema(schema).json(table)
+
+  override def writeFanOut(
+      routed: DataFrame, sink: String, maxRecordsPerFile: Long): Unit =
+    graft.Router.writeFanOut(routed, sink, maxRecordsPerFile = maxRecordsPerFile,
+      format = "json")
+
+  override def versionId(spark: SparkSession, table: String): String =
+    FileTreeFingerprint(table, ".json")
 }
 
 /** Iceberg catalog tables — same Spark API surface, requires

@@ -9,6 +9,46 @@ import org.scalatest.funsuite.AnyFunSuite
 class TableIOSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("JsonLinesIO: explicit-schema read, corrupt-line tolerance, json fan-out") {
+    import graft.sources.JsonLinesIO
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      ("""{"doc_id":"d1","source":"td.apache.access"}""" + "\n" +
+        """{"doc_id":"d2","source":"game.production.api"}""" + "\n" +
+        "this is not json\n" +
+        """{"doc_id":"d3"}""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("source", StringType),
+      StructField("_corrupt_record", StringType)))
+    val src = new JsonLinesIO(schema)
+    val df = src.read(spark, dir)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    // PERMISSIVE: the broken line lands in _corrupt_record, fields null
+    val corrupt = rows.filter(!_.isNullAt(2))
+    assert(corrupt.length == 1 && corrupt(0).getString(2).startsWith("this is"))
+    // missing field reads as null — the reference's schemaless nil → ""
+    assert(rows.filter(_.getString(0) == "d3").forall(_.isNullAt(1)))
+
+    // route the valid lines and fan out as JSON
+    val routed = Router.route(
+      df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      Seq(Rule("source", "^td\\.(\\w+)\\.access$", "site.$1"),
+        Rule("source", "^$", "other", invert = true)),
+      RoutingConfig(), "source")
+    src.writeFanOut(routed, s"$dir/out", maxRecordsPerFile = 100L)
+    val back = spark.read.schema(StructType(Seq(
+      StructField("doc_id", StringType), StructField("source", StringType))))
+      .option("recursiveFileLookup", "false")
+      .json(s"$dir/out")
+    assert(back.count() == routed.count())
+    val dirs = new java.io.File(s"$dir/out").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("new_label_ns=")), dirs.toString)
+  }
+
   test("round trip: read → route → fan-out write; versionId tracks content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tableio").toString
     Synth.sequences(spark, 500L).write.parquet(s"$dir/in")
