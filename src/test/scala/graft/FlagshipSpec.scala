@@ -109,6 +109,16 @@ class FlagshipSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("driver contract: every query has an oracle, every oracle a query") {
+    // a query without an oracle is a null correctness signal to the driver
+    // (the round-1 "no_oracle" gap) — keep the two maps key-identical
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o,
+      s"queries without oracle: ${q.diff(o)}; oracles without query: ${o.diff(q)}")
+    assert(q.nonEmpty)
+  }
+
   test("flagship metrics triple") {
     val df = Synth.sequences(spark, 2000)
     val (counts, metrics) = Pipelines.flagshipWithMetrics(spark, df)
