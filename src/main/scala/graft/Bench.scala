@@ -20,12 +20,13 @@ object Bench {
       "x_embed_ann_multiprobe" -> ((s, dir) => {
         val e = SparkEntry.emb(s, dir)
         graft.ann.Ann.lshTopK(e, e.filter(col("vec_id") < 3),
-          k = 10, numPlanes = 6, probes = 7)
+          k = 10, numPlanes = 6, probes = 7, dim = 64)
       }))
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,15 +43,27 @@ object Bench {
       // parquet datasource init is its own one-time cost — touch a tiny table
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => }
-    val results = (SparkEntry.queries ++ extras).map { case (name, fn) =>
+    // median of `reps` runs per query: single runs at fixed-cost sf scales
+    // wobble ±15%, which round-over-round reads as phantom regressions
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def median(fn: (SparkSession, String) => DataFrame): Double = {
+      val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
+      ts(ts.length / 2)
+    }
+    val results = SparkEntry.queries.map { case (name, fn) => name -> median(fn) }
+    // bench-only extras live OUTSIDE the headline total: they are not
+    // oracled queries, and summing them in would inflate round-over-round
+    // total comparisons by three extra jobs
+    val extraResults = extras.map { case (name, fn) => name -> median(fn) }
+    def obj(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":${obj(results)},"extras":${obj(extraResults)},"sf":"$sfDir"}"""
     // stdout from `sbt runMain` interleaves with Spark/sbt log noise and the
     // round-1 driver failed to parse the line ("parsed": null) — emit the
     // result on every channel a parser might read: bare stdout line, a

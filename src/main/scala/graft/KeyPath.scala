@@ -43,13 +43,19 @@ object KeyPath {
     * A path that cannot exist under `schema` resolves to the constant ""
     * (the reference's behavior for absent fields), so normal rules skip and
     * inverted rules still evaluate.
+    *
+    * A BinaryType leaf resolves through [[graft.expressions.ScrubToUtf8]]
+    * (R-SCRUB, out_rewrite_tag_filter.rb:139-145): rules MATCH against the
+    * scrubbed value (each invalid UTF-8 subpart → `?`) while the routed row
+    * keeps its original bytes — a plain binary→string cast would hand the
+    * regex engine malformed UTF8String bytes instead.
     */
   def resolve(key: String, schema: StructType): Column = {
     val steps = parse(key)
 
-    def walk(dt: DataType, c: Column, rest: List[Step]): Option[Column] =
+    def walk(dt: DataType, c: Column, rest: List[Step]): Option[(DataType, Column)] =
       rest match {
-        case Nil => Some(c)
+        case Nil => Some((dt, c))
         case Field(f) :: tl =>
           dt match {
             case st: StructType =>
@@ -78,8 +84,10 @@ object KeyPath {
       case Index(_) => None
     }
     head match {
-      case Some(c) => coalesce(c.cast(StringType), lit(""))
-      case None    => lit("") // absent path ≡ Fluentd missing field
+      case Some((BinaryType, c)) =>
+        coalesce(graft.expressions.ScrubToUtf8(c), lit(""))
+      case Some((_, c)) => coalesce(c.cast(StringType), lit(""))
+      case None         => lit("") // absent path ≡ Fluentd missing field
     }
   }
 

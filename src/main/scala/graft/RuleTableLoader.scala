@@ -38,23 +38,40 @@ object RuleTableLoader {
   private val ruleParams = Set("key", "pattern", "tag", "label", "invert")
 
   /** Run the hostname command once on the driver; `chomp` semantics
-    * (out_rewrite_tag_filter.rb:40 — backticks + String#chomp).
+    * (out_rewrite_tag_filter.rb:40 — backticks + String#chomp). Bounded by
+    * a timeout: a hung command must fail config loading with a clear error,
+    * not block it forever.
     */
-  def hostnameFromCommand(cmd: String): String = {
+  def hostnameFromCommand(cmd: String, timeoutSec: Long = 10L): String = {
     // stderr is DISCARDED, not piped: a child blocked on a full stderr pipe
     // while we read stdout to EOF deadlocks both processes (same bug class
     // as ScalingBench.runLevelJvm)
     val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val code = proc.waitFor()
+    // stdout drains on its own daemon thread so the timeout path can give
+    // up on a child that never closes its pipe (read-to-EOF inline cannot)
+    val buf = new java.io.ByteArrayOutputStream()
+    val reader = new Thread(() => {
+      try proc.getInputStream.transferTo(buf)
+      catch { case _: java.io.IOException => } // destroyed child: partial read OK
+    })
+    reader.setDaemon(true)
+    reader.start()
+    if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+      proc.destroyForcibly()
+      throw new RuleConfigError(s"hostname_command timed out after ${timeoutSec}s: $cmd")
+    }
+    reader.join(1000)
+    val code = proc.exitValue()
     if (code != 0)
       throw new RuleConfigError(s"hostname_command failed (exit $code): $cmd")
-    out.stripLineEnd
+    new String(buf.toByteArray, "UTF-8").stripLineEnd
   }
 
-  private def buildConfig(params: Map[String, String]): RoutingConfig = {
+  private def buildConfig(
+      params: Map[String, String],
+      allowHostnameCommand: Boolean): RoutingConfig = {
     params.keys.find(!topLevelParams.contains(_)).foreach { k =>
       if (k.startsWith("rewriterule"))
         // the reference's own legacy-syntax error (:52-54)
@@ -69,7 +86,18 @@ object RuleTableLoader {
         throw new RuleConfigError(s"emit_mode must be record or batch: $m")
     }
     val hostname = params.get("hostname")
-      .orElse(params.get("hostname_command").map(hostnameFromCommand))
+      .orElse(params.get("hostname_command").map { c =>
+        // the reference only shells out for OPERATOR conf files (backticks
+        // at configure, :40); a rule table loaded from data-plane storage
+        // (JSON documents, DataFrames) must not trigger driver-side command
+        // execution at parse time unless the caller explicitly opts in
+        if (!allowHostnameCommand)
+          throw new RuleConfigError(
+            "hostname_command executes a shell command at load time and is only honored " +
+              "in operator conf files (fromConf/fromConfFile); pass " +
+              "allowHostnameCommand = true to opt in for JSON rule tables")
+        hostnameFromCommand(c)
+      })
       .getOrElse(RoutingConfig.defaultHostname)
     RoutingConfig(
       capitalizeRegexBackreference =
@@ -147,7 +175,9 @@ object RuleTableLoader {
       }
     }
     if (inRule.isDefined) throw new RuleConfigError("unterminated <rule> section")
-    (rules.toSeq, buildConfig(top.toMap))
+    // operator conf files are trusted config (the reference's configure-time
+    // backticks, :40) — hostname_command is honored here
+    (rules.toSeq, buildConfig(top.toMap, allowHostnameCommand = true))
   }
 
   def fromConfFile(path: String): (Seq[Rule], RoutingConfig) =
@@ -158,9 +188,13 @@ object RuleTableLoader {
 
   /** One JSON document: top-level params + ordered `rules` array. Values may
     * be native JSON booleans or strings; `label` null/absent means default
-    * namespace.
+    * namespace. `hostname_command` is REJECTED unless the caller opts in —
+    * JSON rule tables typically arrive from data-plane storage, and parsing
+    * data must not execute shell commands.
     */
-  def fromJson(text: String): (Seq[Rule], RoutingConfig) = {
+  def fromJson(
+      text: String,
+      allowHostnameCommand: Boolean = false): (Seq[Rule], RoutingConfig) = {
     val root = new ObjectMapper().readTree(text)
     if (root == null || !root.isObject)
       throw new RuleConfigError("rule-table JSON must be an object")
@@ -181,12 +215,15 @@ object RuleTableLoader {
       }.toMap
       buildRule(params, s"rules[$i]")
     }.toSeq
-    (rules, buildConfig(top))
+    (rules, buildConfig(top, allowHostnameCommand))
   }
 
-  def fromJsonFile(path: String): (Seq[Rule], RoutingConfig) =
+  def fromJsonFile(
+      path: String,
+      allowHostnameCommand: Boolean = false): (Seq[Rule], RoutingConfig) =
     fromJson(new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"),
+      allowHostnameCommand)
 
   // ---- DataFrame -------------------------------------------------------------
 

@@ -82,7 +82,15 @@ object SparkEntry {
   private def eventsAsJsonLines(s: SparkSession, dir: String): String =
     jsonLinesDirs.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft_jsonl_")
-      out.toFile.deleteOnExit()
+      // recursive delete at JVM exit — File.deleteOnExit only removes EMPTY
+      // directories, so it would leak a JSON copy of the events table per JVM
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(out).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: java.io.IOException => } // best-effort cleanup
+      }))
       events(s, dir)
         .select(to_json(struct(col("event_id"), col("event_type"), col("props")))
           .as("value"))
@@ -275,6 +283,22 @@ object SparkEntry {
         .select(col("doc_id"), col("new_tag"), col("new_label"))
     }),
 
+    // R-SCRUB end to end: rules MATCH the scrubbed value of a BinaryType
+    // column (each invalid UTF-8 subpart → '?', Ruby String#scrub parity,
+    // out_rewrite_tag_filter.rb:139-145) while the routed row carries the
+    // ORIGINAL bytes unchanged — emitted as hex, which both engines print
+    // identically, so byte preservation is oracle-certified
+    "q_route_binary_scrub" -> ((s, dir) => {
+      val df = docsTagged(s, dir).withColumn("bval",
+        concat(encode(col("lang"), "UTF-8"), unhex(lit("FF")),
+          encode(col("source"), "UTF-8")))
+      val rules = Seq(
+        Rule("bval", "^(en|de)\\?src([0-9])$", "bin.$1.$2"),
+        Rule("bval", "\\?", "bin.scrubbed.${tag_parts[1]}"))
+      Router.route(df, rules, RoutingConfig(), "tag0")
+        .select(col("doc_id"), col("new_tag"), hex(col("bval")).as("orig_hex"))
+    }),
+
     // R-GRP: per-sink counts over the routed frame
     "q_sink_counts" -> ((s, dir) => {
       Router.sinkCounts(
@@ -433,17 +457,31 @@ object SparkEntry {
           col("neighbor_id"))
     }),
 
-    // LSH-bucketed ANN (deterministic hyperplanes → rows-only check)
+    // LSH-bucketed ANN (deterministic hyperplanes → full value oracle)
     "q_embed_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Ann.lshTopK(e, e.filter(col("vec_id") < 3), k = 10, numPlanes = 6)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 3), k = 10, numPlanes = 6,
+        dim = EmbDim)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))
     }),
 
-    // embedding cosine near-duplicate pairs (LSH-blocked)
+    // multi-probe ANN: each query also probes the buckets reached by
+    // flipping its smallest-|margin| sign bits — the recall lever without
+    // extra plane tables; the oracle reproduces margins, flip order and
+    // probe buckets value-for-value
+    "q_embed_ann_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 3), k = 10, numPlanes = 6,
+        probes = 3, dim = EmbDim)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
+    // embedding cosine near-duplicate pairs (banded sign-LSH, capped buckets)
     "q_embed_neardup" -> ((s, dir) => {
-      Ann.cosineNearDupPairs(emb(s, dir), thresholdPpm = 300000L, numPlanes = 4)
+      Ann.cosineNearDupPairs(emb(s, dir), thresholdPpm = 300000L,
+        numPlanes = 8, bands = 2, dim = EmbDim)
         .select(col("id_a"), col("id_b"))
     }),
 
@@ -527,6 +565,17 @@ object SparkEntry {
         Rule("kval", "^$", "bulk.${tag}", invert = true))
       Router.route(df, rules, RoutingConfig(), "tag0")
         .select(col("event_id"), col("new_tag"))
+    }),
+
+    // multimodal: REAL codec — synthesized 24-bit BMPs decoded through the
+    // batched per-partition interface (magic, LE header fields, stride
+    // padding, bottom-up rows); the oracle recomputes width/height/pixel
+    // sum from the generation parameters in closed form
+    "q_mm_bmp_decode" -> ((s, dir) => {
+      val media = Multimodal.bmpTable(s, docs(s, dir))
+      Multimodal.decodeBmpMeta(s, media).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pixel_sum"))
     }),
 
     // multimodal: binary payload metadata (oracle-mirrorable subset)
@@ -680,6 +729,42 @@ object SparkEntry {
     s"floor((CASE WHEN $a.n * $b.n = 0 THEN 0.0 " +
       s"ELSE ${duckDot(s"$a.embedding", s"$b.embedding", EmbDim)} / ($a.n * $b.n) END) * 1000000.0)"
 
+  /** Banded sign-LSH keys (numPlanes split into `bands` per-band keys),
+    * mirroring Ann.cosineNearDupPairs' banding: one (vec_id, band_key) row
+    * per band, key = band index + that band's sign bits.
+    */
+  private def duckBandedEmb(planes: Seq[Seq[Double]], bands: Int): String = {
+    val r = planes.length / bands
+    val bandKeys = (0 until bands).map { b =>
+      val bits = (b * r until (b + 1) * r).map(i =>
+        s"(CASE WHEN ${duckDot("embedding", s"p$i", EmbDim)} >= 0 THEN '1' ELSE '0' END)")
+      s"'$b:' || " + bits.mkString(" || ")
+    }
+    val planeCols = planes.zipWithIndex
+      .map { case (p, i) => s"${duckPlane(p)} AS p$i" }.mkString(", ")
+    s"""(SELECT vec_id, unnest([${bandKeys.mkString(", ")}]) AS band_key
+       | FROM embeddings, (SELECT $planeCols))""".stripMargin
+  }
+
+  /** [[duckBucketedEmb]] plus the per-plane signed dots (multi-probe margin
+    * input) — same IEEE dot formulation, so margins and flip order match the
+    * engine bit-for-bit.
+    */
+  private def duckBucketedEmbDots(planes: Seq[Seq[Double]]): String = {
+    val np = planes.length
+    val bucket = (0 until np)
+      .map(i => s"(CASE WHEN d$i >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val dotCols = (0 until np)
+      .map(i => s"${duckDot("embedding", s"p$i", EmbDim)} AS d$i").mkString(", ")
+    val planeCols = planes.zipWithIndex
+      .map { case (p, i) => s"${duckPlane(p)} AS p$i" }.mkString(", ")
+    s"""(SELECT vec_id, embedding, n, $bucket AS bucket,
+       |   [${(0 until np).map(i => s"d$i").mkString(", ")}] AS dots
+       | FROM (SELECT vec_id, embedding,
+       |         sqrt(${duckDot("embedding", "embedding", EmbDim)}) AS n, $dotCols
+       |       FROM embeddings, (SELECT $planeCols)))""".stripMargin
+  }
+
   // ---- DuckDB oracles -----------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
@@ -752,11 +837,47 @@ object SparkEntry {
     },
 
     "q_embed_neardup" -> {
-      val c = duckBucketedEmb(Ann.planes(4, EmbDim))
-      s"""WITH c AS (SELECT * FROM $c)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${duckSimPpm("a", "b")} >= 300000""".stripMargin
+      val banded = duckBandedEmb(Ann.planes(8, EmbDim), bands = 2)
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    sqrt(${duckDot("embedding", "embedding", EmbDim)}) AS n FROM embeddings),
+         |banded AS (SELECT * FROM $banded),
+         |live AS (SELECT band_key FROM banded GROUP BY band_key
+         |         HAVING count(*) BETWEEN 2 AND 1000),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a
+         |  JOIN live l ON a.band_key = l.band_key
+         |  JOIN banded b ON a.band_key = b.band_key AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b FROM pairs p
+         |JOIN e x ON p.id_a = x.vec_id
+         |JOIN e y ON p.id_b = y.vec_id
+         |WHERE ${duckSimPpm("x", "y")} >= 300000""".stripMargin
+    },
+
+    "q_embed_ann_multiprobe" -> {
+      val np = 6
+      val probes = 3
+      val c = duckBucketedEmbDots(Ann.planes(np, EmbDim))
+      s"""WITH c AS (SELECT * FROM $c),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding, n,
+         |    unnest(list_concat([bucket],
+         |      list_transform(
+         |        list_transform(
+         |          list_sort(list_transform(range(1, ${np + 1}),
+         |            i -> {'m': abs(dots[i]), 'i': i - 1}))[1:${probes - 1}],
+         |          s -> struct_extract(s, 'i')),
+         |        fi -> substr(bucket, 1, CAST(fi AS INT))
+         |          || (CASE WHEN substr(bucket, CAST(fi + 1 AS INT), 1) = '1'
+         |              THEN '0' ELSE '1' END)
+         |          || substr(bucket, CAST(fi + 2 AS INT), $np)))) AS bucket
+         |  FROM c WHERE vec_id < 3)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckSimPpm("q", "c")} DESC, c.vec_id ASC) AS rank
+         |  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+         |) WHERE rank <= 10""".stripMargin
     },
     "q_route_first_match" ->
       s"""SELECT doc_id, new_tag FROM (
@@ -1131,6 +1252,32 @@ object SparkEntry {
          |    FROM events
          |  )
          |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
+
+    // the scrubbed value is reconstructed directly (lang || '?' || source —
+    // the 0xFF byte is one maximal invalid subpart); scrub semantics
+    // themselves are pinned by the 4,500-case randomized equivalence spec
+    "q_route_binary_scrub" ->
+      s"""SELECT doc_id, new_tag, orig_hex FROM (
+         |  SELECT doc_id, tag0,
+         |    CASE
+         |      WHEN coalesce(sval,'') <> '' AND regexp_matches(sval, '^(en|de)\\?src([0-9])$$')
+         |        THEN 'bin.' || regexp_extract(sval, '^(en|de)\\?src([0-9])$$', 1)
+         |             || '.' || regexp_extract(sval, '^(en|de)\\?src([0-9])$$', 2)
+         |      WHEN coalesce(sval,'') <> '' AND regexp_matches(sval, '\\?')
+         |        THEN 'bin.scrubbed.' || split_part(tag0, '.', 2)
+         |    END AS new_tag,
+         |    hex(encode(lang) || '\\xFF'::BLOB || encode(source)) AS orig_hex
+         |  FROM (SELECT *, lang || '?' || source AS sval FROM $docsTaggedSql x)
+         |) WHERE new_tag IS NOT NULL AND new_tag <> tag0""".stripMargin,
+
+    "q_mm_bmp_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS height,
+        |  CAST(3 * (1 + doc_id % 16) *
+        |    list_sum(list_transform(range(0, 1 + (doc_id * 3) % 16),
+        |      y -> (doc_id + y) % 256)) AS BIGINT) AS pixel_sum
+        |FROM documents""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id,

@@ -123,6 +123,14 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "sim_ppm")
   }
 
+  /** Vector dimension: the caller-supplied value when given (> 0), else one
+    * probe job reading the first row. Callers on a hot path should pass the
+    * dimension (it is a schema-level constant of the embedding table) — the
+    * probe is a whole extra Spark job per query build.
+    */
+  private def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim > 0) dim else df.select(size(col(vecCol))).first().getInt(0)
+
   /** Deterministic random hyperplanes: P planes × dim components in [-1, 1],
     * derived from a splitmix64-style integer mix — identical on every run
     * and every engine, no RNG state.
@@ -168,12 +176,12 @@ object Ann {
       k: Int = 10,
       numPlanes: Int = 8,
       seed: Long = 42L,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1,
+      dim: Int = -1): DataFrame = {
     require(probes >= 1 && probes <= numPlanes + 1,
       s"probes must be in [1, numPlanes + 1 = ${numPlanes + 1}]: " +
         "single-bit flips reach exactly numPlanes neighbor buckets")
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val ps = planes(numPlanes, dim, seed)
+    val ps = planes(numPlanes, resolveDim(corpus, vecCol, dim), seed)
     val bc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"), bucketKey(col(vecCol), ps).as("bucket"))
 
@@ -203,35 +211,59 @@ object Ann {
       .select(col("query_id"), col("qv"), col("qn"),
         explode(probeBuckets).as("bucket")))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim_ppm").desc, col("neighbor_id").asc)
+    // rerank with the bounded-heap aggregate, not a per-query window: a
+    // window over bare query_id sorts a query's ENTIRE candidate set (its
+    // bucket × probes — corpus/2^P rows at scale) in one task, while the
+    // TypedImperativeAggregate's partial/final protocol ships at most k
+    // entries per (query, map partition). Each neighbor lands in exactly
+    // one corpus bucket and probe buckets are distinct, so no (query,
+    // neighbor) pair enters the heap twice.
     bc.join(bq, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim_ppm", floor(cosinePrenormed(
         col("qv"), col("cv"), col("qn"), col("cn")) * 1000000.0))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim_ppm")
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKPairsAgg(col("sim_ppm"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("t.sim_ppm").as("sim_ppm"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold within LSH buckets
-    * (all-pairs only inside a bucket — the embedding analog of MinHash LSH).
+  /** Embedding near-duplicate pairs: cosine ≥ threshold within banded LSH
+    * buckets — the embedding analog of MinHash LSH. `numPlanes` total sign
+    * bits split into `bands` bucket tables (OR-amplification: a pair is a
+    * candidate if ANY band agrees on all its numPlanes/bands bits), so
+    * per-band bucket count 2^(numPlanes/bands) scales with corpus size and
+    * recall scales with bands. Candidate generation shares
+    * [[graft.dedup.Dedup.bandedPairs]]: oversized buckets (near-zero or
+    * same-direction vector pileups — sign-LSH concentrates both) are pruned
+    * by a distributive count + semi-join BEFORE any bucket materializes,
+    * bounding the worst-case quadratic bucket at `maxBucket`.
     */
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       thresholdPpm: Long = 950000L,
-      numPlanes: Int = 6,
-      seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val ps = planes(numPlanes, dim, seed)
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("n"), bucketKey(col(vecCol), ps).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L,
+      maxBucket: Int = 1000,
+      dim: Int = -1): DataFrame = {
+    require(numPlanes % bands == 0, "numPlanes must divide into bands")
+    val r = numPlanes / bands
+    val ps = planes(numPlanes, resolveDim(df, vecCol, dim), seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"))
+    // one row per (vector, band); only (id, band_key) shuffles — vectors
+    // stay behind and join back for verification only
+    val banded = base.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        concat(lit(s"$b:"), bucketKey(col("v"), ps.slice(b * r, (b + 1) * r)))): _*))
+        .as("band_key"))
+    graft.dedup.Dedup.bandedPairs(banded, maxBucket)
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("sim_ppm", floor(cosinePrenormed(
         col("v_a"), col("v_b"), col("n_a"), col("n_b")) * 1000000.0))
       .filter(col("sim_ppm") >= thresholdPpm)

@@ -99,4 +99,108 @@ object Multimodal {
       ((mixed >>> 40).toFloat / (1 << 24).toFloat)
     }
   }
+
+  // ---- real codec: 24-bit BMP (public Windows-bitmap spec) -----------------
+  //
+  // One format decodable in pure JVM from its published byte layout — it
+  // proves the batched per-partition decode interface holds under a REAL
+  // byte layout (magic, little-endian header fields, stride padding,
+  // bottom-up rows), not just the deterministic fake above.
+
+  /** Decoded BMP facts: header fields + channel-byte sum over the true
+    * pixels (row padding excluded — a stride bug shows up as a wrong sum).
+    */
+  final case class BmpMeta(
+      doc_id: Long, width: Int, height: Int, bpp: Int, pixel_sum: Long)
+
+  /** Deterministic 24-bit BMP payload for doc `id`: width `1 + id % 16`,
+    * height `1 + (id * 3) % 16`, every channel byte of image row y equals
+    * `(id + y) % 256`, padding bytes 0xAA (decoders must skip them).
+    * Standard layout: 14-byte file header, 40-byte BITMAPINFOHEADER,
+    * bottom-up BGR rows padded to 4 bytes.
+    */
+  def synthesizeBmp(id: Long): Array[Byte] = {
+    val w = (1 + Math.floorMod(id, 16L)).toInt
+    val h = (1 + Math.floorMod(id * 3, 16L)).toInt
+    val stride = ((3 * w + 3) / 4) * 4
+    val dataSize = stride * h
+    val fileSize = 14 + 40 + dataSize
+    val bb = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(fileSize)
+    bb.putInt(0) // reserved
+    bb.putInt(54) // pixel-data offset
+    bb.putInt(40) // BITMAPINFOHEADER size
+    bb.putInt(w)
+    bb.putInt(h) // positive height = bottom-up row order
+    bb.putShort(1) // color planes
+    bb.putShort(24) // bits per pixel
+    bb.putInt(0) // BI_RGB (uncompressed)
+    bb.putInt(dataSize)
+    bb.putInt(2835).putInt(2835) // 72 dpi
+    bb.putInt(0).putInt(0) // palette (none)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // bottom-up: file row r holds image row h-1-r
+      val v = Math.floorMod(id + y, 256L).toByte
+      var x = 0
+      while (x < 3 * w) { bb.put(v); x += 1 }
+      var p = 3 * w
+      while (p < stride) { bb.put(0xAA.toByte); p += 1 }
+      r += 1
+    }
+    bb.array()
+  }
+
+  /** Real decode of an uncompressed 24-bit BMP: magic check, little-endian
+    * header reads (pixel offset @10, width @18, height @22, bpp @28,
+    * compression @30), stride-aware pixel walk summing channel bytes.
+    */
+  def decodeBmp(id: Long, bytes: Array[Byte]): BmpMeta = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      s"not a BMP payload (doc $id)")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    val bpp = bb.getShort(28).toInt
+    require(bpp == 24 && bb.getInt(30) == 0,
+      s"unsupported BMP variant (doc $id): bpp=$bpp compression=${bb.getInt(30)}")
+    val stride = ((bpp / 8 * w + 3) / 4) * 4
+    require(off.toLong + stride.toLong * h <= bytes.length,
+      s"truncated BMP pixel data (doc $id)")
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      val rowStart = off + r * stride
+      var x = 0
+      while (x < 3 * w) { sum += bytes(rowStart + x) & 0xff; x += 1 }
+      r += 1
+    }
+    BmpMeta(id, w, h, bpp, sum)
+  }
+
+  /** Deterministic BMP media table from a frame's id column — the fixture
+    * generator (a real pipeline reads `binaryFile` sources into this shape).
+    */
+  def bmpTable(spark: SparkSession, ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthesizeBmp(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Batched per-partition BMP decode over a (doc_id, media) frame — the
+    * same plumbing shape as [[decodeFeatures]], through the real codec.
+    */
+  def decodeBmpMeta(
+      spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[BmpMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) => decodeBmp(id, bytes) })
+      }
+  }
 }

@@ -114,6 +114,49 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("lshTopK reranks with the bounded heap: no window over bare query_id") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.ann.Ann.lshTopK(emb, emb.filter(col("vec_id") < 2),
+      k = 5, numPlanes = 4, probes = 2, dim = 64)
+    val nodes = executedNodes(out)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "a window over bare query_id sorts a query's whole bucket (corpus/2^P " +
+        "rows at scale) in one task; the rerank must be the partial/final " +
+        "bounded-heap aggregate")
+    val aggs = nodes.filter(_.nodeName.contains("Aggregate"))
+    assert(aggs.count(_.toString.contains("topk_pairs")) >= 2,
+      s"expected partial+final topk_pairs aggregate:\n${out.queryExecution.executedPlan}")
+  }
+
+  test("LSH pair generation prunes buckets BEFORE gathering them") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val frames = Seq(
+      "minhash" -> graft.dedup.Dedup.minHashLshPairsPortable(docs),
+      "minhash_fast" -> graft.dedup.Dedup.minHashLshPairs(docs),
+      "simhash" -> graft.dedup.Dedup.simHashPairsPortable(docs),
+      "cosine" -> graft.ann.Ann.cosineNearDupPairs(emb,
+        numPlanes = 8, bands = 2, dim = 64))
+    frames.foreach { case (name, df) =>
+      val plan = df.queryExecution.optimizedPlan
+      val gathers = plan.collect {
+        case a: Aggregate
+          if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+      }
+      assert(gathers.nonEmpty, s"$name: expected a collect_list gather")
+      // the gather's own subtree must contain the live-bucket semi-join: a
+      // degenerate 10^8-member bucket is then dropped by the distributive
+      // count BEFORE any aggregation buffer materializes its members
+      gathers.foreach { a =>
+        assert(a.collectFirst { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+          s"$name: collect_list must gather only semi-join-pruned buckets:\n$plan")
+      }
+    }
+  }
+
   test("KMV sketch aggregates partial+final (bounded state crosses the shuffle)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.sketch.Kmv.distinctByGroup(docs, "lang", "text", k = 16)

@@ -384,6 +384,29 @@ class RoutingGoldenSpec extends AnyFunSuite {
     assert(routed(1)._2.sameElements("plain".getBytes("UTF-8")))
   }
 
+  // --- rules keyed DIRECTLY on a BinaryType column (R-SCRUB in KeyPath) ---
+  test("binary rule key: KeyPath scrubs for matching, routed row keeps raw bytes") {
+    val schema = StructType(Seq(
+      StructField("rid", IntegerType, nullable = false),
+      StructField("raw", BinaryType, nullable = true),
+      StructField("source", StringType, nullable = false)))
+    val rows = Seq(
+      Row(0, Array[Byte](0xff.toByte), "input"), // invalid UTF-8 → matches as "?"
+      Row(1, "plain".getBytes("UTF-8"), "input"),
+      Row(2, null, "input")) // null binary ≡ missing field ≡ ""
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    // no manual scrub projection: the rule keys the binary column itself
+    val routed = Router.route(df, Seq(Rule("raw", "^(.+)$", "app.$1")))
+      .collect().map(r => r.getAs[Int]("rid") ->
+        (r.getAs[String]("new_tag"), r.getAs[Array[Byte]]("raw"))).toMap
+    assert(routed(0)._1 == "app.?")
+    assert(routed(0)._2.sameElements(Array[Byte](0xff.toByte))) // bytes survive
+    assert(routed(1)._1 == "app.plain")
+    assert(!routed.contains(2)) // empty value skips the normal rule (R-EMPTY)
+  }
+
   // --- null tag column: both compilations treat it as "" ------------------
   test("scrub: maximal-subpart replacement vectors (Ruby String#scrub parity)") {
     import graft.expressions.ScrubToUtf8

@@ -122,6 +122,33 @@ class RuleTableLoaderSpec extends AnyFunSuite {
     assert(cfg2.hostname == "literal-host")
   }
 
+  test("hostname_command: hung command times out with a clear error") {
+    val err = intercept[RuleConfigError](
+      RuleTableLoader.hostnameFromCommand("sleep 60", timeoutSec = 1L))
+    assert(err.getMessage.contains("timed out"))
+    // a command that ignores its stdout pipe must not hang the reader either
+    val err2 = intercept[RuleConfigError](
+      RuleTableLoader.hostnameFromCommand("exec sleep 60", timeoutSec = 1L))
+    assert(err2.getMessage.contains("timed out"))
+  }
+
+  test("hostname_command in JSON rule tables requires an explicit opt-in") {
+    // a rule table loaded from data-plane storage must not execute shell
+    // commands at parse time (the reference only shells out for operator
+    // conf files — backticks at configure)
+    val json =
+      """{"hostname_command": "echo pwned",
+        | "rules": [{"key": "k", "pattern": "p", "tag": "t"}]}""".stripMargin
+    val err = intercept[RuleConfigError](RuleTableLoader.fromJson(json))
+    assert(err.getMessage.contains("hostname_command"))
+    val (_, cfg) = RuleTableLoader.fromJson(json, allowHostnameCommand = true)
+    assert(cfg.hostname == "pwned")
+    // plain hostname literals in JSON stay allowed
+    val (_, cfg2) = RuleTableLoader.fromJson(
+      """{"hostname": "h1", "rules": [{"key": "k", "pattern": "p", "tag": "t"}]}""")
+    assert(cfg2.hostname == "h1")
+  }
+
   test("conf-loaded table routes identically to the literal table") {
     import spark.implicits._
     val df = Seq(

@@ -192,6 +192,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains(("d1", "d2")))
     assert(pairs.contains(("d4", "d5")))
   }
+
+  test("degenerate LSH bucket is pruned, live pairs survive (MinHash + SimHash)") {
+    // 500 copies of one boilerplate doc — the exact input a web crawl
+    // guarantees — must be dropped by the cap WITHOUT ever being gathered;
+    // a genuinely duplicated pair outside the hot bucket must survive
+    val rows = (0 until 500).map(i =>
+      (f"hot$i%04d", "same boilerplate error page text served everywhere")) ++
+      Seq(("pair_a", "a unique document about spark query engines"),
+        ("pair_b", "a unique document about spark query engines"))
+    val df = rows.toDF("doc_id", "text").repartition(8)
+    val mh = Dedup.minHashLshPairsPortable(df, maxBucket = 50, thresholdPpm = 400000L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mh == Set(("pair_a", "pair_b")),
+      s"hot bucket must be capped out, live pair kept: $mh")
+    val sh = Dedup.simHashPairsPortable(df, maxHamming = 4, maxBucket = 50)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sh == Set(("pair_a", "pair_b")), s"simhash twin: $sh")
+  }
 }
 
 class SynthDocumentsSpec extends AnyFunSuite {
@@ -289,9 +307,33 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("cosine near-dup pairs are symmetric-free and above threshold") {
-    val pairs = Ann.cosineNearDupPairs(emb, thresholdPpm = 700000L, numPlanes = 4)
+    val pairs = Ann.cosineNearDupPairs(emb, thresholdPpm = 700000L,
+      numPlanes = 4, bands = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.forall { case (a, b, s) => a < b && s >= 700000L })
+  }
+
+  test("near-dup banding is OR-amplified: more bands never lose pairs") {
+    def pairsAt(bands: Int) =
+      Ann.cosineNearDupPairs(emb, thresholdPpm = 600000L,
+        numPlanes = 8, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairsAt(1) // single 8-bit bucket table
+    val four = pairsAt(4) // four 2-bit tables: strict superset of candidates
+    assert(one.subsetOf(four),
+      s"band-0 keys extend the single-table keys, so candidates only grow: " +
+        s"missing ${one.diff(four)}")
+  }
+
+  test("caller-supplied dim skips the dimension-probe job entirely") {
+    // an EMPTY corpus makes the probe observable: first() on it throws, so
+    // plan construction succeeding proves no probe job ran
+    val empty = emb.filter(lit(false))
+    Ann.lshTopK(empty, empty, k = 3, numPlanes = 4, dim = 16)
+    Ann.cosineNearDupPairs(empty, numPlanes = 4, bands = 2, dim = 16)
+    // and the fallback still probes when dim is not given
+    assertThrows[NoSuchElementException](
+      Ann.lshTopK(empty, empty, k = 3, numPlanes = 4))
   }
 }
 
@@ -419,5 +461,47 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.fromDocuments(docs), batchSize = 64, featureDim = 8).collect()
     assert(feats.map(f => f.doc_id -> f.feature.toSeq).toMap ==
       again.map(f => f.doc_id -> f.feature.toSeq).toMap)
+  }
+
+  test("BMP codec: header fields and stride-aware pixel sum, every stride remainder") {
+    // ids 0..15 sweep width 1..16, hitting all four (3*w % 4) padding cases
+    for (id <- 0L until 16L) {
+      val bytes = Multimodal.synthesizeBmp(id)
+      assert(bytes(0) == 'B' && bytes(1) == 'M')
+      val m = Multimodal.decodeBmp(id, bytes)
+      val w = (1 + id % 16).toInt
+      val h = (1 + (id * 3) % 16).toInt
+      assert(m.width == w && m.height == h && m.bpp == 24)
+      // closed form: every channel byte of image row y is (id + y) % 256,
+      // padding (0xAA) excluded by the stride walk
+      val want = 3L * w * (0 until h).map(y => (id + y) % 256).sum
+      assert(m.pixel_sum == want, s"doc $id: got ${m.pixel_sum}, want $want")
+    }
+    // padding-skip is load-bearing: a decoder summing whole file rows
+    // (stride instead of 3*w) would differ whenever 3*w % 4 != 0
+    val m3 = Multimodal.decodeBmp(3, Multimodal.synthesizeBmp(3)) // w=4, 3*w=12 pad 0
+    val m2 = Multimodal.decodeBmp(2, Multimodal.synthesizeBmp(2)) // w=3, 3*w=9 pad 3
+    assert(m3.width == 4 && m2.width == 3)
+  }
+
+  test("BMP codec rejects non-BMP and truncated payloads") {
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeBmp(0, "not a bitmap at all".getBytes("UTF-8")))
+    val ok = Multimodal.synthesizeBmp(7)
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeBmp(7, ok.take(ok.length - 4))) // truncated pixel data
+  }
+
+  test("distributed batched BMP decode ≡ local decode") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id").repartition(5)
+    val got = Multimodal.decodeBmpMeta(spark, Multimodal.bmpTable(spark, ids),
+      batchSize = 7).collect()
+      .map(m => m.doc_id -> (m.width, m.height, m.pixel_sum)).toMap
+    assert(got.size == 40)
+    for (id <- 0L until 40L) {
+      val local = Multimodal.decodeBmp(id, Multimodal.synthesizeBmp(id))
+      assert(got(id) == ((local.width, local.height, local.pixel_sum)))
+    }
   }
 }
