@@ -478,6 +478,17 @@ object SparkEntry {
           col("neighbor_id"))
     }),
 
+    // IVF ANN: deterministic unit-centroid coarse quantizer, nProbe best
+    // cells per query, exact rerank — cell assignment, probe order and
+    // ranks all reproduced value-for-value by the oracle
+    "q_embed_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 3), k = 10, numCentroids = 32,
+        nProbe = 4, dim = EmbDim)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
     // embedding cosine near-duplicate pairs (banded sign-LSH, capped buckets)
     "q_embed_neardup" -> ((s, dir) => {
       Ann.cosineNearDupPairs(emb(s, dir), thresholdPpm = 300000L,
@@ -852,6 +863,35 @@ object SparkEntry {
          |JOIN e x ON p.id_a = x.vec_id
          |JOIN e y ON p.id_b = y.vec_id
          |WHERE ${duckSimPpm("x", "y")} >= 300000""".stripMargin
+    },
+
+    "q_embed_ann_ivf" -> {
+      val nc = 32
+      val nProbe = 4
+      val cs = Ann.centroids(nc, EmbDim)
+      val centCols = cs.zipWithIndex
+        .map { case (c, i) => s"${duckPlane(c)} AS c$i" }.mkString(", ")
+      // 0.0 - dot (not unary minus): zero vectors yield +0.0 in both engines
+      val ranked = "list_sort([" + (0 until nc).map(i =>
+        s"{'m': 0.0 - ${duckDot("embedding", s"c$i", EmbDim)}, 'i': $i}")
+        .mkString(", ") + "])"
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${duckDot("embedding", "embedding", EmbDim)}) AS n,
+         |    $ranked AS ranked
+         |  FROM embeddings, (SELECT $centCols)),
+         |c AS (SELECT vec_id, embedding, n,
+         |        struct_extract(ranked[1], 'i') AS cell FROM base),
+         |q AS (SELECT vec_id AS query_id, embedding, n,
+         |        unnest(list_transform(ranked[1:$nProbe],
+         |          s -> struct_extract(s, 'i'))) AS cell
+         |      FROM base WHERE vec_id < 3)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckSimPpm("q", "c")} DESC, c.vec_id ASC) AS rank
+         |  FROM q JOIN c ON q.cell = c.cell AND c.vec_id <> q.query_id
+         |) WHERE rank <= 10""".stripMargin
     },
 
     "q_embed_ann_multiprobe" -> {

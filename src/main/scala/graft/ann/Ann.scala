@@ -211,14 +211,22 @@ object Ann {
       .select(col("query_id"), col("qv"), col("qn"),
         explode(probeBuckets).as("bucket")))
 
-    // rerank with the bounded-heap aggregate, not a per-query window: a
-    // window over bare query_id sorts a query's ENTIRE candidate set (its
-    // bucket × probes — corpus/2^P rows at scale) in one task, while the
-    // TypedImperativeAggregate's partial/final protocol ships at most k
-    // entries per (query, map partition). Each neighbor lands in exactly
-    // one corpus bucket and probe buckets are distinct, so no (query,
-    // neighbor) pair enters the heap twice.
-    bc.join(bq, Seq("bucket"))
+    rerankTopK(bc, bq, "bucket", k)
+  }
+
+  /** Shared exact-rerank tail for the bucketed ANN variants (LSH cells,
+    * IVF cells): join the partitioned corpus to the broadcast probe side on
+    * the cell key, score, and rank with the bounded-heap aggregate — NOT a
+    * per-query window. A window over bare query_id sorts a query's ENTIRE
+    * candidate set (its cell × probes — corpus/#cells rows at scale) in one
+    * task, while the TypedImperativeAggregate's partial/final protocol
+    * ships at most k entries per (query, map partition). Each neighbor
+    * lands in exactly one corpus cell and probe cells are distinct, so no
+    * (query, neighbor) pair enters the heap twice.
+    */
+  private def rerankTopK(
+      bc: DataFrame, bq: DataFrame, cellCol: String, k: Int): DataFrame =
+    bc.join(bq, Seq(cellCol))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim_ppm", floor(cosinePrenormed(
         col("qv"), col("cv"), col("qn"), col("cn")) * 1000000.0))
@@ -227,6 +235,61 @@ object Ann {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"), col("t.sim_ppm").as("sim_ppm"))
+
+  /** Deterministic unit-norm centroids for the IVF coarse quantizer — the
+    * same splitmix derivation as [[planes]], normalized ONCE on the driver,
+    * so the printed literals (the only form either engine sees) are
+    * identical across engines and runs.
+    */
+  def centroids(numCentroids: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    planes(numCentroids, dim, seed).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer of `numCentroids`
+    * deterministic unit centroids partitions the corpus into cells (argmax
+    * centroid dot — cosine order, since centroids are unit-norm); each
+    * query probes its `nProbe` best cells and reranks exactly within them.
+    * The classical alternative to hash bucketing: cell population follows
+    * the data distribution instead of random sign patterns, and recall is
+    * tuned by nProbe alone.
+    *
+    * Scale shape: identical to [[lshTopK]] — the corpus computes its cell
+    * map-side and shuffles once (broadcast here since queries are the small
+    * side), the ×nProbe fan-out touches only the broadcast query side, and
+    * the rerank is the bounded-heap aggregate. Cell ranking uses
+    * `0.0 - dot` ascending (not unary minus: `0.0 - (±0.0) = +0.0` in IEEE,
+    * so zero vectors rank cells purely by index in BOTH engines — unary
+    * minus would produce -0.0, which Spark's struct sort orders BELOW +0.0
+    * while SQL engines compare them equal).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      numCentroids: Int = 256,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"nProbe must be in [1, numCentroids = $numCentroids]")
+    val cs = centroids(numCentroids, resolveDim(corpus, vecCol, dim), seed)
+    // cells ranked best-first: sort struct(0.0 - score, index) ascending
+    def rankedCells(v: Column): Column =
+      array_sort(array(cs.zipWithIndex.map { case (c, i) =>
+        struct((lit(0.0) - dot(v, array(c.map(lit): _*))).as("m"), lit(i).as("i"))
+      }: _*))
+    val bc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
+      element_at(rankedCells(col(vecCol)), 1).getField("i").as("cell"))
+    val bq = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"),
+      explode(transform(slice(rankedCells(col(vecCol)), 1, nProbe),
+        s => s.getField("i"))).as("cell")))
+    rerankTopK(bc, bq, "cell", k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold within banded LSH

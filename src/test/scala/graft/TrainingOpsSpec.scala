@@ -325,12 +325,38 @@ class AnnSpec extends AnyFunSuite {
         s"missing ${one.diff(four)}")
   }
 
+  test("IVF ANN: exact rerank within probed cells, nProbe lifts recall") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    def recallAt(nProbe: Int): Double = {
+      val approx = Ann.ivfTopK(emb, queries, k = 10, numCentroids = 16,
+        nProbe = nProbe).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+      assert(approx.values.forall(_.size <= 10))
+      exact.keys.toSeq.map { q =>
+        approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+      }.sum / exact.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    val r16 = recallAt(16) // probing every cell = exact search
+    info(f"IVF recall@10, 16 centroids: nProbe=1 $r1%.2f, 4 $r4%.2f, 16 $r16%.2f")
+    assert(r4 >= r1, "probing more cells must never lose recall")
+    assert(r16 == 1.0, "nProbe = numCentroids degenerates to exact search")
+    assertThrows[IllegalArgumentException](
+      Ann.ivfTopK(emb, queries, numCentroids = 16, nProbe = 17))
+  }
+
   test("caller-supplied dim skips the dimension-probe job entirely") {
     // an EMPTY corpus makes the probe observable: first() on it throws, so
     // plan construction succeeding proves no probe job ran
     val empty = emb.filter(lit(false))
     Ann.lshTopK(empty, empty, k = 3, numPlanes = 4, dim = 16)
     Ann.cosineNearDupPairs(empty, numPlanes = 4, bands = 2, dim = 16)
+    Ann.ivfTopK(empty, empty, k = 3, numCentroids = 4, dim = 16)
     // and the fallback still probes when dim is not given
     assertThrows[NoSuchElementException](
       Ann.lshTopK(empty, empty, k = 3, numPlanes = 4))
