@@ -62,7 +62,16 @@ object RuleTableLoader {
       proc.destroyForcibly()
       throw new RuleConfigError(s"hostname_command timed out after ${timeoutSec}s: $cmd")
     }
-    reader.join(1000)
+    // the shell exited, but a backgrounded grandchild may still hold the
+    // stdout pipe open; Ruby backticks read to pipe EOF, so anything short
+    // of EOF here must be an ERROR, never a silently truncated hostname
+    reader.join(timeoutSec * 1000)
+    if (reader.isAlive) {
+      proc.destroyForcibly()
+      throw new RuleConfigError(
+        s"hostname_command exited but its stdout stayed open past ${timeoutSec}s " +
+          s"(backgrounded child holding the pipe?): $cmd")
+    }
     val code = proc.exitValue()
     if (code != 0)
       throw new RuleConfigError(s"hostname_command failed (exit $code): $cmd")

@@ -87,9 +87,11 @@ object SparkEntry {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import java.nio.file.{Files, Path}
         import java.util.Comparator
+        // walk-stream iteration surfaces I/O failures as UncheckedIOException
+        // (a RuntimeException) — catch broadly, it's best-effort cleanup
         try Files.walk(out).sorted(Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p))
-        catch { case _: java.io.IOException => } // best-effort cleanup
+        catch { case _: Exception => }
       }))
       events(s, dir)
         .select(to_json(struct(col("event_id"), col("event_type"), col("props")))

@@ -89,7 +89,16 @@ object Ann {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       k: Int = 10): DataFrame =
-    scoredPairs(corpus, queries, idCol, vecCol)
+    topKTail(scoredPairs(corpus, queries, idCol, vecCol), k)
+
+  /** Shared top-k tail over a scored (query_id, neighbor_id, sim_ppm)
+    * frame: bounded-heap aggregate → (rank, neighbor, sim) rows. One
+    * definition for the brute-force baseline AND the bucketed variants, so
+    * the output shape and (sim desc, id asc) tie-break can never diverge
+    * between the differential baseline and what it checks.
+    */
+  private def topKTail(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy("query_id")
       .agg(graft.expressions.TopKPairsAgg(col("sim_ppm"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -226,15 +235,12 @@ object Ann {
     */
   private def rerankTopK(
       bc: DataFrame, bq: DataFrame, cellCol: String, k: Int): DataFrame =
-    bc.join(bq, Seq(cellCol))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim_ppm", floor(cosinePrenormed(
-        col("qv"), col("cv"), col("qn"), col("cn")) * 1000000.0))
-      .groupBy("query_id")
-      .agg(graft.expressions.TopKPairsAgg(col("sim_ppm"), col("neighbor_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"), col("t.sim_ppm").as("sim_ppm"))
+    topKTail(
+      bc.join(bq, Seq(cellCol))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim_ppm", floor(cosinePrenormed(
+          col("qv"), col("cv"), col("qn"), col("cn")) * 1000000.0)),
+      k)
 
   /** Deterministic unit-norm centroids for the IVF coarse quantizer — the
     * same splitmix derivation as [[planes]], normalized ONCE on the driver,
@@ -277,17 +283,21 @@ object Ann {
     require(nProbe >= 1 && nProbe <= numCentroids,
       s"nProbe must be in [1, numCentroids = $numCentroids]")
     val cs = centroids(numCentroids, resolveDim(corpus, vecCol, dim), seed)
-    // cells ranked best-first: sort struct(0.0 - score, index) ascending
-    def rankedCells(v: Column): Column =
-      array_sort(array(cs.zipWithIndex.map { case (c, i) =>
+    // struct(0.0 - score, index): struct order = best cell first
+    def cellStructs(v: Column): Column =
+      array(cs.zipWithIndex.map { case (c, i) =>
         struct((lit(0.0) - dot(v, array(c.map(lit): _*))).as("m"), lit(i).as("i"))
-      }: _*))
+      }: _*)
+    // corpus side (the 100 TB side) needs only the argmin cell: array_min
+    // is O(nc) per row under the same struct total order — the full
+    // O(nc log nc) sort runs only on the small broadcast query side, which
+    // actually needs the nProbe best cells in order
     val bc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"),
-      element_at(rankedCells(col(vecCol)), 1).getField("i").as("cell"))
+      array_min(cellStructs(col(vecCol))).getField("i").as("cell"))
     val bq = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), norm(col(vecCol)).as("qn"),
-      explode(transform(slice(rankedCells(col(vecCol)), 1, nProbe),
+      explode(transform(slice(array_sort(cellStructs(col(vecCol))), 1, nProbe),
         s => s.getField("i"))).as("cell")))
     rerankTopK(bc, bq, "cell", k)
   }

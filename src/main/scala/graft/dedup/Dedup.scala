@@ -87,33 +87,26 @@ object Dedup {
       transform(TextFunctions.shingles(text, shingleSize), s => xxhash64(s)),
       numHashes)
 
-  /** Buckets with 2..maxBucket members, via a partial+final `count` — the
-    * prune that must run BEFORE any `collect_list`: the count collapses a
-    * degenerate 10^8-member bucket (mass-duplicated empty/boilerplate doc —
-    * an input a web crawl guarantees) to one row per map task, and the
-    * semi-join drops it before any aggregation buffer materializes its
-    * members. A collect_list-then-filter(size) form would hold the whole
-    * bucket in ONE buffer first and OOM exactly where the cap was supposed
-    * to protect. Shared by all LSH families (MinHash, SimHash, sign-LSH).
-    */
-  private[graft] def pruneToLiveBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val live = banded
-      .groupBy("band_key").agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn").between(2, maxBucket))
-      .select("band_key")
-    banded.join(live, Seq("band_key"), "left_semi")
-  }
-
   /** Candidate pairs from a banded (id, band_key) frame: bucket = docs
     * sharing a band key; pairs expand inside the bucket row (no self-join).
-    * Oversized buckets are pruned distributively BEFORE the gather (see
-    * [[pruneToLiveBuckets]]) — a quadratic bucket is exact-duplicate
-    * territory anyway; run [[exact]] first. Shared by every LSH family:
-    * only (id, band_key) ever shuffles here.
+    * The gather is [[graft.expressions.CappedCollectList]] with
+    * `limit = maxBucket + 1`, so a degenerate 10^8-member bucket (a
+    * mass-duplicated boilerplate doc — an input a web crawl guarantees)
+    * saturates its bounded buffer and is dropped by the size filter, while
+    * any bucket within the cap is gathered COMPLETE — one pass, one
+    * shuffle, and no aggregation buffer ever holds more than maxBucket + 1
+    * entries. (A plain collect_list materializes the whole degenerate
+    * bucket before any filter; a count + semi-join prune is buffer-safe
+    * but executes the banded lineage — signatures, the dominant cost —
+    * twice.) Shared by every LSH family: only (id, band_key) ever
+    * shuffles here. A quadratic bucket is exact-duplicate territory
+    * anyway; run [[exact]] first.
     */
   private[graft] def bandedPairs(banded: DataFrame, maxBucket: Int): DataFrame =
-    pruneToLiveBuckets(banded, maxBucket)
-      .groupBy("band_key").agg(collect_list(col("id")).as("ids"))
+    banded
+      .groupBy("band_key")
+      .agg(graft.expressions.CappedCollectList(col("id"), maxBucket + 1).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), x =>
         transform(filter(col("ids"), y => y > x),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
@@ -227,9 +220,9 @@ object Dedup {
     * families. Band b = 16-char slice at position 1 + 16b; signatures are
     * 64 chars — cheap enough to carry into the bucket and verify in place
     * (no join-back needed, unlike MinHash shingle sets). Hamming emitted as
-    * long (oracle-schema friendly). Oversized buckets are pruned by the
-    * distributive count + semi-join BEFORE the gather (same rationale as
-    * [[pruneToLiveBuckets]]).
+    * long (oracle-schema friendly). The gather is the size-capped
+    * aggregate, same rationale as [[bandedPairs]]: bounded buffers, one
+    * pass, degenerate buckets saturate and are filtered out.
     */
   private def simHashBandedPairs(
       sigs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
@@ -237,8 +230,10 @@ object Dedup {
       struct(col("id"), col("sig")).as("ds"),
       explode(array((0 until 4).map(bd =>
         concat(lit(s"$bd:"), substring(col("sig"), 1 + bd * 16, 16))): _*)).as("band_key"))
-    pruneToLiveBuckets(banded, maxBucket)
-      .groupBy("band_key").agg(collect_list(col("ds")).as("ds"))
+    banded
+      .groupBy("band_key")
+      .agg(graft.expressions.CappedCollectList(col("ds"), maxBucket + 1).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ds"), x =>
         transform(filter(col("ds"), y => y.getField("id") > x.getField("id")),
           y => struct(

@@ -129,9 +129,8 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial+final topk_pairs aggregate:\n${out.queryExecution.executedPlan}")
   }
 
-  test("LSH pair generation prunes buckets BEFORE gathering them") {
-    import org.apache.spark.sql.catalyst.plans.LeftSemi
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+  test("LSH pair generation gathers buckets with BOUNDED buffers only") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val frames = Seq(
@@ -142,18 +141,17 @@ class PlanShapeSpec extends AnyFunSuite {
         numPlanes = 8, bands = 2, dim = 64))
     frames.foreach { case (name, df) =>
       val plan = df.queryExecution.optimizedPlan
-      val gathers = plan.collect {
-        case a: Aggregate
-          if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
-      }
-      assert(gathers.nonEmpty, s"$name: expected a collect_list gather")
-      // the gather's own subtree must contain the live-bucket semi-join: a
-      // degenerate 10^8-member bucket is then dropped by the distributive
-      // count BEFORE any aggregation buffer materializes its members
-      gathers.foreach { a =>
-        assert(a.collectFirst { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
-          s"$name: collect_list must gather only semi-join-pruned buckets:\n$plan")
-      }
+      val aggExprs = plan.collect { case a: Aggregate => a }
+        .flatMap(_.aggregateExpressions.map(_.toString))
+      // the gather must be the size-capped aggregate (no buffer ever holds
+      // more than maxBucket + 1 entries, degenerate buckets saturate and
+      // get filtered) — a plain collect_list materializes a 10^8-member
+      // bucket in ONE buffer before any size filter can drop it
+      assert(aggExprs.exists(_.contains("capped_collect_list")),
+        s"$name: expected the capped bucket gather:\n$plan")
+      assert(!aggExprs.exists(e =>
+        e.contains("collect_list(") && !e.contains("capped_collect_list(")),
+        s"$name: an UNBOUNDED collect_list reached the plan:\n$plan")
     }
   }
 

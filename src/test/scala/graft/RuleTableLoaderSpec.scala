@@ -130,6 +130,12 @@ class RuleTableLoaderSpec extends AnyFunSuite {
     val err2 = intercept[RuleConfigError](
       RuleTableLoader.hostnameFromCommand("exec sleep 60", timeoutSec = 1L))
     assert(err2.getMessage.contains("timed out"))
+    // a backgrounded grandchild holding the stdout pipe open after the
+    // shell exits must be an ERROR, never a silently truncated hostname
+    val err3 = intercept[RuleConfigError](
+      RuleTableLoader.hostnameFromCommand(
+        "echo partial-host; (sleep 60; echo more) &", timeoutSec = 1L))
+    assert(err3.getMessage.contains("stdout stayed open"))
   }
 
   test("hostname_command in JSON rule tables requires an explicit opt-in") {

@@ -314,9 +314,14 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("near-dup banding is OR-amplified: more bands never lose pairs") {
+    // maxBucket is set above the corpus size: with pruning out of play,
+    // bands=1 candidates (full 8-bit key agreement) are a subset of
+    // bands=4 candidates (agreement on any 2-bit slice) BY CONSTRUCTION —
+    // with pruning active a coarse band could saturate and lose pairs the
+    // finer single table keeps, so the invariant only holds uncapped
     def pairsAt(bands: Int) =
       Ann.cosineNearDupPairs(emb, thresholdPpm = 600000L,
-        numPlanes = 8, bands = bands)
+        numPlanes = 8, bands = bands, maxBucket = 1000000)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val one = pairsAt(1) // single 8-bit bucket table
     val four = pairsAt(4) // four 2-bit tables: strict superset of candidates
