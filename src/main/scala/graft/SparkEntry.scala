@@ -591,6 +591,16 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("pixel_sum"))
     }),
 
+    // multimodal: second real codec — binary PPM/P6 (ASCII header with
+    // comments, top-down unpadded raster: a deliberately different byte
+    // layout from BMP) through the same batched decode interface
+    "q_mm_ppm_decode" -> ((s, dir) => {
+      val media = Multimodal.ppmTable(s, docs(s, dir))
+      Multimodal.decodePpmMeta(s, media).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pixel_sum"))
+    }),
+
     // multimodal: binary payload metadata (oracle-mirrorable subset)
     "q_mm_meta" -> ((s, dir) => {
       Multimodal.fromDocuments(docs(s, dir))
@@ -1319,6 +1329,15 @@ object SparkEntry {
         |  CAST(3 * (1 + doc_id % 16) *
         |    list_sum(list_transform(range(0, 1 + (doc_id * 3) % 16),
         |      y -> (doc_id + y) % 256)) AS BIGINT) AS pixel_sum
+        |FROM documents""".stripMargin,
+
+    "q_mm_ppm_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + (doc_id * 7) % 16 AS BIGINT) AS width,
+        |  CAST(1 + (doc_id * 5) % 16 AS BIGINT) AS height,
+        |  CAST(3 * (1 + (doc_id * 7) % 16) *
+        |    list_sum(list_transform(range(0, 1 + (doc_id * 5) % 16),
+        |      y -> (doc_id * 11 + y) % 256)) AS BIGINT) AS pixel_sum
         |FROM documents""".stripMargin,
 
     "q_mm_meta" ->

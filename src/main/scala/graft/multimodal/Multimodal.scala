@@ -182,6 +182,70 @@ object Multimodal {
     BmpMeta(id, w, h, bpp, sum)
   }
 
+  // ---- real codec #2: binary PPM / P6 (public netpbm spec) -----------------
+  //
+  // A second real byte layout, deliberately unlike BMP: ASCII header with
+  // whitespace/comment tokenization instead of fixed little-endian offsets,
+  // top-down unpadded RGB rows instead of bottom-up padded BGR.
+
+  /** Deterministic P6 payload for doc `id`: width `1 + (id * 7) % 16`,
+    * height `1 + (id * 5) % 16`, maxval 255, a `#` comment in the header
+    * (decoders must skip comments — the spec allows them anywhere before
+    * maxval), every channel byte of row y equals `(id * 11 + y) % 256`.
+    */
+  def synthesizePpm(id: Long): Array[Byte] = {
+    val w = (1 + Math.floorMod(id * 7, 16L)).toInt
+    val h = (1 + Math.floorMod(id * 5, 16L)).toInt
+    val header = s"P6\n# doc $id\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = java.util.Arrays.copyOf(header, header.length + 3 * w * h)
+    var y = 0
+    var p = header.length
+    while (y < h) {
+      val v = Math.floorMod(id * 11 + y, 256L).toByte
+      var x = 0
+      while (x < 3 * w) { out(p) = v; p += 1; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Real decode of a binary PPM: magic check, whitespace/comment-tolerant
+    * ASCII token scan for width/height/maxval, then the raw RGB walk. Reuses
+    * [[BmpMeta]] (bpp = 24 — P6 with maxval ≤ 255 is 3 bytes/pixel).
+    */
+  def decodePpm(id: Long, bytes: Array[Byte]): BmpMeta = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      s"not a P6 payload (doc $id)")
+    var i = 2
+    // netpbm token scan: fields separated by whitespace; '#' starts a
+    // comment running to end of line, legal before any header field
+    def nextInt(): Int = {
+      while (i < bytes.length &&
+        (Character.isWhitespace(bytes(i)) || bytes(i) == '#')) {
+        if (bytes(i) == '#') while (i < bytes.length && bytes(i) != '\n') i += 1
+        else i += 1
+      }
+      var v = 0
+      val start = i
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      require(i > start, s"malformed P6 header (doc $id)")
+      v
+    }
+    val w = nextInt()
+    val h = nextInt()
+    val maxval = nextInt()
+    require(maxval == 255, s"unsupported P6 maxval $maxval (doc $id)")
+    i += 1 // exactly ONE whitespace byte after maxval precedes the raster
+    require(i + 3L * w * h <= bytes.length, s"truncated P6 raster (doc $id)")
+    var sum = 0L
+    var p = i
+    val end = i + 3 * w * h
+    while (p < end) { sum += bytes(p) & 0xff; p += 1 }
+    BmpMeta(id, w, h, 24, sum)
+  }
+
   /** Deterministic BMP media table from a frame's id column — the fixture
     * generator (a real pipeline reads `binaryFile` sources into this shape).
     */
@@ -190,6 +254,24 @@ object Multimodal {
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id => (id, synthesizeBmp(id))))
       .toDF("doc_id", "media")
+  }
+
+  /** P6 twin of [[bmpTable]]. */
+  def ppmTable(spark: SparkSession, ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthesizePpm(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** P6 twin of [[decodeBmpMeta]] — same batched per-partition plumbing. */
+  def decodePpmMeta(
+      spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[BmpMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) => decodePpm(id, bytes) })
+      }
   }
 
   /** Batched per-partition BMP decode over a (doc_id, media) frame — the

@@ -515,6 +515,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m3.width == 4 && m2.width == 3)
   }
 
+  test("PPM codec: comment-tolerant header scan, raster sum, round-trip") {
+    for (id <- 0L until 16L) {
+      val m = Multimodal.decodePpm(id, Multimodal.synthesizePpm(id))
+      val w = (1 + (id * 7) % 16).toInt
+      val h = (1 + (id * 5) % 16).toInt
+      assert(m.width == w && m.height == h)
+      val want = 3L * w * (0 until h).map(y => (id * 11 + y) % 256).sum
+      assert(m.pixel_sum == want, s"doc $id: got ${m.pixel_sum}, want $want")
+    }
+    // comments may carry digits and appear between any header fields
+    val tricky = ("P6\n#c 9\n 2 #w\n1\n#x\n255\n" + "ABCABC").getBytes("US-ASCII")
+    val m = Multimodal.decodePpm(99, tricky)
+    assert(m.width == 2 && m.height == 1)
+    assert(m.pixel_sum == 2L * ('A' + 'B' + 'C'))
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodePpm(0, "P5\n1 1\n255\nx".getBytes("US-ASCII"))) // grayscale
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodePpm(0, "P6\n4 4\n255\nxx".getBytes("US-ASCII"))) // truncated
+  }
+
   test("BMP codec rejects non-BMP and truncated payloads") {
     assertThrows[IllegalArgumentException](
       Multimodal.decodeBmp(0, "not a bitmap at all".getBytes("UTF-8")))
