@@ -58,19 +58,30 @@ object RuleTableLoader {
     })
     reader.setDaemon(true)
     reader.start()
-    if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+    // kill the whole visible process tree, children first: destroying only
+    // `proc` leaves a shell's children running (and on the stayed-open path
+    // the shell has EXITED, so destroying it alone is a documented no-op)
+    def killTree(): Unit = {
+      proc.descendants().forEach(h => { h.destroyForcibly(); () })
       proc.destroyForcibly()
+    }
+    if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+      killTree()
       throw new RuleConfigError(s"hostname_command timed out after ${timeoutSec}s: $cmd")
     }
-    // the shell exited, but a backgrounded grandchild may still hold the
+    // The shell exited, but a backgrounded grandchild may still hold the
     // stdout pipe open; Ruby backticks read to pipe EOF, so anything short
-    // of EOF here must be an ERROR, never a silently truncated hostname
+    // of EOF here must be an ERROR, never a silently truncated hostname.
+    // (Total wall time is bounded by 2 × timeoutSec: waitFor + this join.)
     reader.join(timeoutSec * 1000)
     if (reader.isAlive) {
-      proc.destroyForcibly()
+      // best effort: reap any descendants still visible under the exited
+      // shell; a grandchild already reparented to init cannot be found from
+      // here and is the orphan the error message tells the operator about
+      killTree()
       throw new RuleConfigError(
         s"hostname_command exited but its stdout stayed open past ${timeoutSec}s " +
-          s"(backgrounded child holding the pipe?): $cmd")
+          s"(backgrounded child holding the pipe? it may still be running): $cmd")
     }
     val code = proc.exitValue()
     if (code != 0)

@@ -309,9 +309,10 @@ object Ann {
     * per-band bucket count 2^(numPlanes/bands) scales with corpus size and
     * recall scales with bands. Candidate generation shares
     * [[graft.dedup.Dedup.bandedPairs]]: oversized buckets (near-zero or
-    * same-direction vector pileups — sign-LSH concentrates both) are pruned
-    * by a distributive count + semi-join BEFORE any bucket materializes,
-    * bounding the worst-case quadratic bucket at `maxBucket`.
+    * same-direction vector pileups — sign-LSH concentrates both) saturate
+    * the size-capped gather's bounded buffer and are dropped by its size
+    * filter, so the worst-case quadratic bucket is bounded at `maxBucket`
+    * without any buffer ever exceeding maxBucket + 1 entries.
     */
   def cosineNearDupPairs(
       df: DataFrame,

@@ -225,19 +225,26 @@ object Multimodal {
         if (bytes(i) == '#') while (i < bytes.length && bytes(i) != '\n') i += 1
         else i += 1
       }
-      var v = 0
-      val start = i
+      var v = 0L // accumulate in long: an adversarial header must error,
+      val start = i // never overflow Int into a garbage negative dimension
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-        v = v * 10 + (bytes(i) - '0'); i += 1
+        v = v * 10 + (bytes(i) - '0')
+        require(v <= Int.MaxValue, s"P6 header field overflows (doc $id)")
+        i += 1
       }
       require(i > start, s"malformed P6 header (doc $id)")
-      v
+      v.toInt
     }
     val w = nextInt()
     val h = nextInt()
     val maxval = nextInt()
+    require(w > 0 && h > 0, s"non-positive P6 dimensions ${w}x$h (doc $id)")
     require(maxval == 255, s"unsupported P6 maxval $maxval (doc $id)")
-    i += 1 // exactly ONE whitespace byte after maxval precedes the raster
+    // exactly ONE whitespace byte after maxval precedes the raster (spec);
+    // anything else (e.g. a comment) must not be summed as pixel data
+    require(i < bytes.length && Character.isWhitespace(bytes(i)),
+      s"P6 raster must follow maxval after one whitespace byte (doc $id)")
+    i += 1
     require(i + 3L * w * h <= bytes.length, s"truncated P6 raster (doc $id)")
     var sum = 0L
     var p = i

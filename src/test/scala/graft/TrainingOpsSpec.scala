@@ -533,6 +533,13 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodePpm(0, "P5\n1 1\n255\nx".getBytes("US-ASCII"))) // grayscale
     assertThrows[IllegalArgumentException](
       Multimodal.decodePpm(0, "P6\n4 4\n255\nxx".getBytes("US-ASCII"))) // truncated
+    // adversarial headers must ERROR, never produce garbage metadata
+    assertThrows[IllegalArgumentException](Multimodal.decodePpm(0,
+      ("P6\n99999999999 1\n255\n" + "ABC").getBytes("US-ASCII"))) // Int overflow
+    assertThrows[IllegalArgumentException](Multimodal.decodePpm(0,
+      ("P6\n0 4\n255\n").getBytes("US-ASCII"))) // zero width
+    assertThrows[IllegalArgumentException](Multimodal.decodePpm(0,
+      ("P6\n2 1\n255#c\nABCABC").getBytes("US-ASCII"))) // comment as raster sep
   }
 
   test("BMP codec rejects non-BMP and truncated payloads") {
