@@ -451,6 +451,15 @@ object SparkEntry {
       Dedup.simHashPairsPortable(docs(s, dir), maxHamming = 12)
     }),
 
+    // pairs → CLUSTERS: connected components (iterative min-label
+    // propagation) over the simhash pair graph; the oracle recomputes the
+    // identical pair set and resolves components with a recursive CTE
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.nearDupClusters(d, Dedup.simHashPairsPortable(d, maxHamming = 12))
+        .select(col("doc_id"), col("cluster_id"))
+    }),
+
     // brute-force cosine top-k over embeddings
     "q_embed_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -788,6 +797,37 @@ object SparkEntry {
        |       FROM embeddings, (SELECT $planeCols)))""".stripMargin
   }
 
+  /** The q_dedup_simhash oracle, shared verbatim by q_dedup_clusters (the
+    * clustering oracle must recompute the exact same pair set).
+    */
+  private lazy val duckSimHashPairsSql: String =
+    """WITH d0 AS (SELECT doc_id, __WORDS__ AS ws FROM documents),
+      |wb AS (SELECT doc_id, list_transform(ws, w -> __WORDBITS__) AS wb FROM d0),
+      |sigs AS (SELECT doc_id,
+      |    list_aggregate(list_transform(range(1, 65),
+      |      p -> CASE WHEN 2 * len(list_filter(wb, b -> substr(b, CAST(p AS INT), 1) = '1')) > len(wb)
+      |           THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+      |  FROM wb),
+      |banded AS (
+      |  SELECT doc_id, CAST(b AS VARCHAR) || ':' || substr(sig, CAST(1 + b*16 AS INT), 16) AS band_key
+      |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      |live AS (SELECT band_key FROM banded GROUP BY band_key
+      |         HAVING count(*) BETWEEN 2 AND 1000),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a
+      |  JOIN live l ON a.band_key = l.band_key
+      |  JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT p.id_a, p.id_b,
+      |    CAST(len(list_filter(range(1, 65),
+      |      q -> substr(x.sig, CAST(q AS INT), 1) <> substr(y.sig, CAST(q AS INT), 1))) AS BIGINT) AS hamming
+      |  FROM pairs p
+      |  JOIN sigs x ON p.id_a = x.doc_id
+      |  JOIN sigs y ON p.id_b = y.doc_id
+      |) WHERE hamming <= 12""".stripMargin
+      .replace("__WORDS__", duckWords).replace("__WORDBITS__", duckWordBits)
+
   // ---- DuckDB oracles -----------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
@@ -819,33 +859,20 @@ object SparkEntry {
         |) WHERE jaccard_ppm >= 400000""".stripMargin
         .replace("__WORDS__", duckWords).replace("__SHINGLES__", duckShingles3),
 
-    "q_dedup_simhash" ->
-      """WITH d0 AS (SELECT doc_id, __WORDS__ AS ws FROM documents),
-        |wb AS (SELECT doc_id, list_transform(ws, w -> __WORDBITS__) AS wb FROM d0),
-        |sigs AS (SELECT doc_id,
-        |    list_aggregate(list_transform(range(1, 65),
-        |      p -> CASE WHEN 2 * len(list_filter(wb, b -> substr(b, CAST(p AS INT), 1) = '1')) > len(wb)
-        |           THEN '1' ELSE '0' END), 'string_agg', '') AS sig
-        |  FROM wb),
-        |banded AS (
-        |  SELECT doc_id, CAST(b AS VARCHAR) || ':' || substr(sig, CAST(1 + b*16 AS INT), 16) AS band_key
-        |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)),
-        |live AS (SELECT band_key FROM banded GROUP BY band_key
-        |         HAVING count(*) BETWEEN 2 AND 1000),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM banded a
-        |  JOIN live l ON a.band_key = l.band_key
-        |  JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, hamming FROM (
-        |  SELECT p.id_a, p.id_b,
-        |    CAST(len(list_filter(range(1, 65),
-        |      q -> substr(x.sig, CAST(q AS INT), 1) <> substr(y.sig, CAST(q AS INT), 1))) AS BIGINT) AS hamming
-        |  FROM pairs p
-        |  JOIN sigs x ON p.id_a = x.doc_id
-        |  JOIN sigs y ON p.id_b = y.doc_id
-        |) WHERE hamming <= 12""".stripMargin
-        .replace("__WORDS__", duckWords).replace("__WORDBITS__", duckWordBits),
+    "q_dedup_simhash" -> duckSimHashPairsSql,
+
+    // connected components by recursive reachability: r reaches id; the
+    // min reachable id per node is its component's minimum — the same
+    // fixpoint min-label propagation converges to
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE sh_pairs AS ($duckSimHashPairsSql),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM sh_pairs
+         |          UNION SELECT id_b, id_a FROM sh_pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.t AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.s)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "q_embed_ann_lsh" -> {
       val c = duckBucketedEmb(Ann.planes(6, EmbDim))

@@ -337,6 +337,67 @@ object Dedup {
       df.select(col(idCol).as("id"), simHashBitsPortable(col(textCol)).as("sig")),
       maxHamming, maxBucket)
 
+  /** Connected components over a near-dup pair graph: every document gets
+    * the MINIMUM id reachable through the pairs — its cluster id, which is
+    * also the cluster's elected keeper (`is_canonical = doc_id ==
+    * cluster_id`). This is the stage that turns pairwise similarity output
+    * into dedup DECISIONS: `pairs → clusters → keep one per cluster`.
+    *
+    * Iterative min-label propagation — the standard distributed CC shape
+    * (the DataFrame analog of GraphX/Pregel label propagation): each round
+    * every node's current label crosses its edges once and a partial+final
+    * `min` aggregate folds messages map-side, so rounds cost one shuffle
+    * join + one aggregate and NO node's full neighborhood ever concentrates
+    * in a task. Round count = component diameter; near-dup components are
+    * shallow (LSH emits cliques within buckets, so chains only form across
+    * buckets), hence the small `maxIters` default. The driver only checks
+    * convergence (an isEmpty per round), never touches data.
+    *
+    * @param docs  frame holding every document (singletons become their own
+    *              cluster) — pass the same frame the pairs were mined from.
+    * @param pairs (id_a, id_b) rows, any orientation, duplicates fine.
+    * @return one row per doc: (idCol, cluster_id).
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIters: Int = 20): DataFrame = {
+    // edges are reused every round: materialize once
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+      .localCheckpoint()
+    // each round's labels MUST be lineage-truncated (eager localCheckpoint):
+    // the fixpoint plan references the previous round's frame twice (union +
+    // convergence join), so an un-truncated logical plan doubles per round —
+    // exponential analysis/explain cost long before any data moves. (On a
+    // multi-node cluster prefer a reliable checkpoint dir for fault
+    // tolerance; the algorithm is unchanged.)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val msgs = edges.join(labels, col("s") === col("id"))
+        .select(col("t").as("id"), col("cluster_id"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("__old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      log.warn(s"nearDupClusters stopped at maxIters=$maxIters before convergence " +
+        "(component diameter exceeds the bound); labels are upper bounds, not final")
+    labels.select(col("id").as(idCol), col("cluster_id"))
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact word-set Jaccard pairs within blocks (same blocking value and
     * close length) — small-block exact near-dup, SQL-mirrorable.
     *

@@ -193,6 +193,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains(("d4", "d5")))
   }
 
+  test("connected components: chains, cliques, singletons, symmetry") {
+    import spark.implicits._
+    // component {1,2,3,4} as a CHAIN (needs multiple propagation rounds),
+    // component {10,11,12} as a clique, singletons 20 and 21
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), // chain, mixed orientation
+      (10L, 11L), (11L, 12L), (10L, 12L), (10L, 11L)) // clique + dup edge
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+    // a long chain exercises the multi-round fixpoint (diameter 9)
+    val chainNodes = (0L until 10L).toDF("doc_id")
+    val chainPairs = (0L until 9L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val chain = Dedup.nearDupClusters(chainNodes, chainPairs).collect()
+    assert(chain.forall(_.getLong(1) == 0L))
+  }
+
   test("degenerate LSH bucket is pruned, live pairs survive (MinHash + SimHash)") {
     // 500 copies of one boilerplate doc — the exact input a web crawl
     // guarantees — must be dropped by the cap WITHOUT ever being gathered;
