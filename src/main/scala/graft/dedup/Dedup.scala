@@ -387,14 +387,30 @@ object Dedup {
         .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
         .filter(col("cluster_id") =!= col("__old"))
         .isEmpty
+      releaseLocalCheckpoint(labels) // superseded round: free its blocks NOW
       labels = next
       iter += 1
     }
+    // the edge set (the largest checkpoint) is only needed inside the loop;
+    // relying on driver GC + ContextCleaner leaves it resident long enough
+    // to evict/pressure later queries in the same session
+    releaseLocalCheckpoint(edges)
     if (!converged)
       log.warn(s"nearDupClusters stopped at maxIters=$maxIters before convergence " +
         "(component diameter exceeds the bound); labels are upper bounds, not final")
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
+
+  /** Unpersist the block-manager blocks behind a localCheckpoint'ed frame
+    * (Dataset.unpersist does not reach them — the RDD was persisted by the
+    * checkpoint machinery, not by cache()).
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
