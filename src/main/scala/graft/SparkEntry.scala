@@ -457,7 +457,6 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.nearDupClusters(d, Dedup.simHashPairsPortable(d, maxHamming = 12))
-        .select(col("doc_id"), col("cluster_id"))
     }),
 
     // brute-force cosine top-k over embeddings

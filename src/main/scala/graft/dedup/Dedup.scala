@@ -363,10 +363,16 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIters: Int = 20): DataFrame = {
-    // edges are reused every round: materialize once
-    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
-      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+    // materialize the MINED pairs once, then symmetrize from the
+    // checkpoint: a union over the raw pairs plan embeds the whole mining
+    // pipeline (banding → bucket join → verify) as BOTH union children, and
+    // exchange reuse only salvages stages below the last shuffle — the
+    // verify stage would run twice
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("s"), col("id_b").as("t"))
+      .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
       .localCheckpoint()
+    releaseLocalCheckpoint(p)
     // each round's labels MUST be lineage-truncated (eager localCheckpoint):
     // the fixpoint plan references the previous round's frame twice (union +
     // convergence join), so an un-truncated logical plan doubles per round —
@@ -395,11 +401,23 @@ object Dedup {
     // relying on driver GC + ContextCleaner leaves it resident long enough
     // to evict/pressure later queries in the same session
     releaseLocalCheckpoint(edges)
+    // loud failure, not a warning: returning upper-bound labels would
+    // surface as an inexplicable value mismatch against the exact-fixpoint
+    // oracle, far from the root cause
     if (!converged)
-      log.warn(s"nearDupClusters stopped at maxIters=$maxIters before convergence " +
-        "(component diameter exceeds the bound); labels are upper bounds, not final")
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge within maxIters=$maxIters " +
+          "(component diameter exceeds the bound); raise maxIters")
+    // the returned frame stays backed by the final round's checkpoint
+    // blocks (2 columns × #docs — small; the big edge/intermediate blocks
+    // were released above); call [[releaseClusters]] when done to free
+    // them immediately instead of waiting for GC + ContextCleaner
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
+
+  /** Free the checkpoint blocks behind a [[nearDupClusters]] result. */
+  def releaseClusters(clusters: DataFrame): Unit =
+    releaseLocalCheckpoint(clusters)
 
   /** Unpersist the block-manager blocks behind a localCheckpoint'ed frame
     * (Dataset.unpersist does not reach them — the RDD was persisted by the
@@ -411,8 +429,6 @@ object Dedup {
         lr.rdd.unpersist(blocking = false)
       case _ =>
     }
-
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Exact word-set Jaccard pairs within blocks (same blocking value and
     * close length) — small-block exact near-dup, SQL-mirrorable.
