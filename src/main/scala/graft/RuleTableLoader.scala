@@ -72,7 +72,10 @@ object RuleTableLoader {
     // The shell exited, but a backgrounded grandchild may still hold the
     // stdout pipe open; Ruby backticks read to pipe EOF, so anything short
     // of EOF here must be an ERROR, never a silently truncated hostname.
-    // (Total wall time is bounded by 2 × timeoutSec: waitFor + this join.)
+    // (In practice the JVM process reaper severs the pipe at child exit —
+    // the reader then sees EOF having drained the shell's own output whole;
+    // this guard covers the race where the reader is still blocked. Total
+    // wall time is bounded by 2 × timeoutSec: waitFor + this join.)
     reader.join(timeoutSec * 1000)
     if (reader.isAlive) {
       // best effort: reap any descendants still visible under the exited

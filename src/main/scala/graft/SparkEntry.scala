@@ -395,6 +395,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
     }),
 
+    // near-dup-aware curation: quality gate × language allowlist ×
+    // CLUSTER-keeper election (keep one representative per near-dup
+    // cluster, not just per exact-dup group) × deterministic split — the
+    // full modern pretraining-curation pass in one composed plan
+    "q_curation_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = d
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      val clusters = Dedup.nearDupClusters(
+        d, Dedup.simHashPairsPortable(d, maxHamming = 12))
+      graft.textops.Sampling.hashSplit(
+        scored.join(clusters, Seq("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("quality") >= 40 &&
+          col("lang_pred").isin("en", "de", "fr", "es", "zh") &&
+          col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
+    }),
+
     // corpus analytics: top-10 terms per language by frequency. The window
     // ranks the AGGREGATED (lang, word) counts — vocabulary-bounded, not
     // corpus-bounded — after a partial+final count absorbs the raw volume
@@ -1140,6 +1160,24 @@ object SparkEntry {
          |WHERE q.quality >= 40
          |  AND l.lang_pred IN ('en', 'de', 'fr', 'es', 'zh')
          |  AND d.is_dup = 0""".stripMargin,
+
+    "q_curation_neardup" ->
+      s"""WITH RECURSIVE sh_pairs AS ($duckSimHashPairsSql),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM sh_pairs
+         |          UNION SELECT id_b, id_a FROM sh_pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.t AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.s),
+         |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT q.doc_id, l.lang_pred, q.quality, s.split
+         |FROM $duckQualitySub q
+         |JOIN $duckLangIdSub l ON q.doc_id = l.doc_id
+         |JOIN clusters c ON q.doc_id = c.doc_id
+         |JOIN $duckSplitSub s ON q.doc_id = s.doc_id
+         |WHERE q.quality >= 40
+         |  AND l.lang_pred IN ('en', 'de', 'fr', 'es', 'zh')
+         |  AND c.doc_id = c.cluster_id""".stripMargin,
 
     "q_top_terms" ->
       """SELECT lang, word, n, rank FROM (
