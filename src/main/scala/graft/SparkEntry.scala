@@ -49,6 +49,22 @@ object SparkEntry {
   private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     spread(s, graft.sources.ParquetIO.read(s, s"$dir/embeddings.parquet"))
 
+  /** documents + the curation scoring columns (quality, lang_pred) — the
+    * shared front of both composed curation passes.
+    */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+
+  /** The curation gate, ONE definition for both composed passes (and
+    * mirrored by [[duckGatedSub]]): drift between the two queries' gates
+    * was a review finding.
+    */
+  private val curationLangs = Seq("en", "de", "fr", "es", "zh")
+  private def curationGate =
+    col("quality") >= 40 && col("lang_pred").isin(curationLangs: _*)
+
   /** documents + dot-separated routing tag `tag0` = input.<lang>.<source>. */
   private def docsTagged(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).withColumn("tag0",
@@ -382,36 +398,33 @@ object SparkEntry {
 
     // the composed curation pass: quality-gate × language allowlist ×
     // exact-dedup keeper filter × deterministic split — what a training
-    // pipeline actually runs over a raw crawl, end to end in one plan
+    // pipeline actually runs over a raw crawl, end to end in one plan.
+    // (Gate order is immaterial here, unlike the near-dup variant: exact
+    // dups share identical text, hence identical quality/lang, so a
+    // cluster's keeper passes the gate iff every member does.)
     "q_curation" -> ((s, dir) => {
-      val scored = docs(s, dir)
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
-        .withColumn("lang_pred", TextFunctions.langId(col("text")))
-      val deduped = Dedup.exact(scored)
+      val deduped = Dedup.exact(scoredDocs(s, dir))
       graft.textops.Sampling.hashSplit(deduped, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .filter(col("quality") >= 40 &&
-          col("lang_pred").isin("en", "de", "fr", "es", "zh") && !col("is_dup"))
+        .filter(curationGate && !col("is_dup"))
         .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
     }),
 
-    // near-dup-aware curation: quality gate × language allowlist ×
-    // CLUSTER-keeper election (keep one representative per near-dup
-    // cluster, not just per exact-dup group) × deterministic split — the
-    // full modern pretraining-curation pass in one composed plan
+    // near-dup-aware curation: quality gate × language allowlist FIRST,
+    // then CLUSTER-keeper election among the SURVIVORS (keep one
+    // representative per near-dup cluster), then deterministic split.
+    // Gate-first is load-bearing: electing keepers before gating lets a
+    // junk min-id keeper drag its whole cluster out of the curated set
+    // (its high-quality members are dropped as non-keepers, the keeper
+    // itself fails the gate)
     "q_curation_neardup" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val scored = d
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
-        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      val gated = scoredDocs(s, dir).filter(curationGate)
       val clusters = Dedup.nearDupClusters(
-        d, Dedup.simHashPairsPortable(d, maxHamming = 12))
+        gated, Dedup.simHashPairsPortable(gated, maxHamming = 12))
       graft.textops.Sampling.hashSplit(
-        scored.join(clusters, Seq("doc_id")), "doc_id",
+        gated.join(clusters, Seq("doc_id")), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .filter(col("quality") >= 40 &&
-          col("lang_pred").isin("en", "de", "fr", "es", "zh") &&
-          col("doc_id") === col("cluster_id"))
+        .filter(col("doc_id") === col("cluster_id"))
         .select(col("doc_id"), col("lang_pred"), col("quality"), col("split"))
     }),
 
@@ -816,11 +829,12 @@ object SparkEntry {
        |       FROM embeddings, (SELECT $planeCols)))""".stripMargin
   }
 
-  /** The q_dedup_simhash oracle, shared verbatim by q_dedup_clusters (the
-    * clustering oracle must recompute the exact same pair set).
+  /** The simhash pair-mining SQL over an arbitrary documents relation —
+    * shared by q_dedup_simhash, q_dedup_clusters and q_curation_neardup
+    * (the clustering oracles must recompute the exact same pair set).
     */
-  private lazy val duckSimHashPairsSql: String =
-    """WITH d0 AS (SELECT doc_id, __WORDS__ AS ws FROM documents),
+  private def duckSimHashPairsSqlFrom(docsRel: String): String =
+    """WITH d0 AS (SELECT doc_id, __WORDS__ AS ws FROM __DOCSREL__),
       |wb AS (SELECT doc_id, list_transform(ws, w -> __WORDBITS__) AS wb FROM d0),
       |sigs AS (SELECT doc_id,
       |    list_aggregate(list_transform(range(1, 65),
@@ -846,6 +860,33 @@ object SparkEntry {
       |  JOIN sigs y ON p.id_b = y.doc_id
       |) WHERE hamming <= 12""".stripMargin
       .replace("__WORDS__", duckWords).replace("__WORDBITS__", duckWordBits)
+      .replace("__DOCSREL__", docsRel)
+
+  private lazy val duckSimHashPairsSql: String = duckSimHashPairsSqlFrom("documents")
+
+  /** Connected-components CTE chain (expects a preceding `sh_pairs` CTE and
+    * a WITH RECURSIVE context): min reachable id per node = cluster id.
+    * ONE definition — a desync between the two clustering oracles would
+    * surface as a value mismatch in only one of them, far from the cause.
+    */
+  private def duckClustersCtes(docsRel: String): String =
+    s"""edges AS (SELECT id_a AS s, id_b AS t FROM sh_pairs
+       |          UNION SELECT id_b, id_a FROM sh_pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM $docsRel
+       |  UNION
+       |  SELECT e.t AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.s),
+       |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** doc_id → (lang_pred, quality) for gate SURVIVORS — the SQL mirror of
+    * `scoredDocs.filter(curationGate)`, shared by both curation oracles.
+    */
+  private lazy val duckGatedSub: String =
+    s"""(SELECT q.doc_id, l.lang_pred, q.quality
+       | FROM $duckQualitySub q
+       | JOIN $duckLangIdSub l ON q.doc_id = l.doc_id
+       | WHERE q.quality >= 40
+       |   AND l.lang_pred IN (${curationLangs.map(l => s"'$l'").mkString(", ")}))""".stripMargin
 
   // ---- DuckDB oracles -----------------------------------------------------
 
@@ -885,13 +926,8 @@ object SparkEntry {
     // fixpoint min-label propagation converges to
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE sh_pairs AS ($duckSimHashPairsSql),
-         |edges AS (SELECT id_a AS s, id_b AS t FROM sh_pairs
-         |          UNION SELECT id_b, id_a FROM sh_pairs),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT e.t AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.s)
-         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+         |${duckClustersCtes("documents")}
+         |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
 
     "q_embed_ann_lsh" -> {
       val c = duckBucketedEmb(Ann.planes(6, EmbDim))
@@ -1150,34 +1186,27 @@ object SparkEntry {
       s"SELECT doc_id, keeper_id, is_dup FROM $duckDedupSub",
 
     // quality × lang-ID × dedup × split composed — the realistic curation
-    // pass a training pipeline runs over a raw crawl
+    // pass a training pipeline runs over a raw crawl (gate via the shared
+    // duckGatedSub, one definition with q_curation_neardup)
     "q_curation" ->
-      s"""SELECT q.doc_id, l.lang_pred, q.quality, s.split
-         |FROM $duckQualitySub q
-         |JOIN $duckLangIdSub l ON q.doc_id = l.doc_id
-         |JOIN $duckDedupSub d ON q.doc_id = d.doc_id
-         |JOIN $duckSplitSub s ON q.doc_id = s.doc_id
-         |WHERE q.quality >= 40
-         |  AND l.lang_pred IN ('en', 'de', 'fr', 'es', 'zh')
-         |  AND d.is_dup = 0""".stripMargin,
+      s"""SELECT g.doc_id, g.lang_pred, g.quality, s.split
+         |FROM $duckGatedSub g
+         |JOIN $duckDedupSub d ON g.doc_id = d.doc_id
+         |JOIN $duckSplitSub s ON g.doc_id = s.doc_id
+         |WHERE d.is_dup = 0""".stripMargin,
 
+    // gate first, then mine pairs + resolve components among SURVIVORS
+    // only (matching the Spark side's gate-before-election order)
     "q_curation_neardup" ->
-      s"""WITH RECURSIVE sh_pairs AS ($duckSimHashPairsSql),
-         |edges AS (SELECT id_a AS s, id_b AS t FROM sh_pairs
-         |          UNION SELECT id_b, id_a FROM sh_pairs),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT e.t AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.s),
-         |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
-         |SELECT q.doc_id, l.lang_pred, q.quality, s.split
-         |FROM $duckQualitySub q
-         |JOIN $duckLangIdSub l ON q.doc_id = l.doc_id
-         |JOIN clusters c ON q.doc_id = c.doc_id
-         |JOIN $duckSplitSub s ON q.doc_id = s.doc_id
-         |WHERE q.quality >= 40
-         |  AND l.lang_pred IN ('en', 'de', 'fr', 'es', 'zh')
-         |  AND c.doc_id = c.cluster_id""".stripMargin,
+      s"""WITH RECURSIVE gated AS (SELECT * FROM $duckGatedSub g0),
+         |gdocs AS (SELECT d.* FROM documents d JOIN gated g ON d.doc_id = g.doc_id),
+         |sh_pairs AS (${duckSimHashPairsSqlFrom("gdocs")}),
+         |${duckClustersCtes("gdocs")}
+         |SELECT g.doc_id, g.lang_pred, g.quality, s.split
+         |FROM gated g
+         |JOIN clusters c ON g.doc_id = c.doc_id
+         |JOIN $duckSplitSub s ON g.doc_id = s.doc_id
+         |WHERE c.doc_id = c.cluster_id""".stripMargin,
 
     "q_top_terms" ->
       """SELECT lang, word, n, rank FROM (
