@@ -23,6 +23,38 @@ object Bench {
           k = 10, numPlanes = 6, probes = 7, dim = 64)
       }))
   }
+  /** Median of `reps` timed runs, or (-1, the first failure message) if any
+    * rep throws — a failure must surface in the bench JSON as an error, not
+    * as a (suspiciously fast) timing.
+    */
+  private[graft] def measure(reps: Int)(run: () => Unit): (Double, Option[String]) = {
+    val runs = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      try { run(); ((System.nanoTime() - t0) / 1e9, None) }
+      catch {
+        case t: Throwable =>
+          val msg = t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("").linesIterator.take(1)
+              .mkString.take(160)
+          ((System.nanoTime() - t0) / 1e9, Some(msg))
+      }
+    }
+    runs.collectFirst { case (_, Some(e)) => e } match {
+      case Some(e) => (-1.0, Some(e))
+      case None =>
+        val ts = runs.map(_._1).sorted
+        (ts(ts.length / 2), None)
+    }
+  }
+
+  private[graft] def escJson(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -46,25 +78,26 @@ object Bench {
     } catch { case _: Throwable => }
     // median of `reps` runs per query: single runs at fixed-cost sf scales
     // wobble ±15%, which round-over-round reads as phantom regressions
-    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
-    def median(fn: (SparkSession, String) => DataFrame): Double = {
-      val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
-      ts(ts.length / 2)
-    }
+    def median(fn: (SparkSession, String) => DataFrame): (Double, Option[String]) =
+      measure(reps)(() => fn(spark, sfDir).count())
     val results = SparkEntry.queries.map { case (name, fn) => name -> median(fn) }
     // bench-only extras live OUTSIDE the headline total: they are not
     // oracled queries, and summing them in would inflate round-over-round
     // total comparisons by three extra jobs
     val extraResults = extras.map { case (name, fn) => name -> median(fn) }
-    def obj(m: Map[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def obj(m: Map[String, (Double, Option[String])]) =
+      m.map { case (k, (v, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // a failing query must be LOUD: value -1 in "queries" plus its message
+    // here — a broken query must never fold a fast failure into the median
+    // as if it were a fast success
+    def errObj(ms: Map[String, (Double, Option[String])]) =
+      ms.collect { case (k, (_, Some(e))) => s"\"$k\":\"${escJson(e)}\"" }
+        .mkString("{", ",", "}")
+    val allErrs = errObj(results ++ extraResults)
+    val total = results.values.collect { case (v, None) => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""queries":${obj(results)},"extras":${obj(extraResults)},"sf":"$sfDir"}"""
+      s""""queries":${obj(results)},"extras":${obj(extraResults)},""" +
+      s""""errors":$allErrs,"sf":"$sfDir"}"""
     // stdout from `sbt runMain` interleaves with Spark/sbt log noise and the
     // round-1 driver failed to parse the line ("parsed": null) — emit the
     // result on every channel a parser might read: bare stdout line, a

@@ -350,8 +350,9 @@ object Dedup {
     * join + one aggregate and NO node's full neighborhood ever concentrates
     * in a task. Round count = component diameter; near-dup components are
     * shallow (LSH emits cliques within buckets, so chains only form across
-    * buckets), hence the small `maxIters` default. The driver only checks
-    * convergence (an isEmpty per round), never touches data.
+    * buckets), hence the small `maxIters` default. The driver reads only the
+    * per-round changed-label count (an observe metric delivered by the same
+    * action that materializes the round), never data.
     *
     * @param docs  frame holding every document (singletons become their own
     *              cluster) — pass the same frame the pairs were mined from.
@@ -363,39 +364,116 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIters: Int = 20): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     // materialize the MINED pairs once, then symmetrize from the
     // checkpoint: a union over the raw pairs plan embeds the whole mining
     // pipeline (banding → bucket join → verify) as BOTH union children, and
     // exchange reuse only salvages stages below the last shuffle — the
     // verify stage would run twice
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val edges = p.select(col("id_a").as("s"), col("id_b").as("t"))
+    // symmetrized raw edge plan, hash-laid-out by source node so each
+    // node's out-edges land in ONE partition (maximizes the contraction
+    // below); read exactly once, so no checkpoint of its own
+    val rawEdges = p.select(col("id_a").as("s"), col("id_b").as("t"))
       .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
+      .repartition(parts, col("s"))
+    // Phase 1 — partition-local star contraction (the standard two-phase
+    // distributed-CC shape): union-find over each edge partition emits one
+    // (node ↔ partition-local root) star-edge pair per contracted node. The
+    // star graph has exactly the original components over exactly the
+    // incident node set, but its diameter is the number of PARTITION hops a
+    // chain crosses, not the chain's raw length — so the global fixpoint
+    // below converges in a handful of rounds however long mined chains get,
+    // and iterates over ≤ 2×incident-nodes star edges instead of 2×|pairs|.
+    // Memory is bounded by distinct nodes per edge partition — the budget a
+    // hash aggregate on this layout already assumes. mapPartitions is
+    // warranted: union-find's mutable parent forest has no Catalyst
+    // equivalent.
+    //
+    // The result is hash-partitioned on the join key ONCE (explicit count —
+    // a bare repartition(exprs) is an AQE-coalescing target): the
+    // localCheckpoint preserves output partitioning, so every round's
+    // edge⋈label join reuses this layout with NO per-round edge shuffle —
+    // the co-located iterative join a real cluster wants.
+    val edges = docs.sparkSession.createDataFrame(
+      rawEdges.rdd.mapPartitions { it =>
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x: Any): Any = {
+          if (!parent.containsKey(x)) { parent.put(x, x); x }
+          else {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x // path compression
+            while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            r
+          }
+        }
+        it.foreach { row =>
+          val ra = find(row.get(0))
+          val rb = find(row.get(1))
+          if (ra != rb) parent.put(ra, rb)
+        }
+        import scala.jdk.CollectionConverters._
+        // freeze the key set first: find()'s path compression mutates the
+        // map, and HashMap iteration under mutation throws
+        parent.keySet.asScala.toVector.iterator.flatMap { n =>
+          val r = find(n)
+          if (n == r) Nil
+          else Seq(org.apache.spark.sql.Row(n, r), org.apache.spark.sql.Row(r, n))
+        }
+      }, rawEdges.schema)
+      .repartition(parts, col("s"))
       .localCheckpoint()
     releaseLocalCheckpoint(p)
-    // each round's labels MUST be lineage-truncated (eager localCheckpoint):
-    // the fixpoint plan references the previous round's frame twice (union +
-    // convergence join), so an un-truncated logical plan doubles per round —
-    // exponential analysis/explain cost long before any data moves. (On a
-    // multi-node cluster prefer a reliable checkpoint dir for fault
-    // tolerance; the algorithm is unchanged.)
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    // the fixpoint iterates ONLY over edge-incident nodes: a singleton (the
+    // overwhelming majority of any real corpus) is trivially its own
+    // cluster and joins back after convergence, so the iterated frame is
+    // bounded by 2×|pairs| distinct ids, not |docs| — at 100 TB that is the
+    // difference between shuffling the corpus per round and shuffling the
+    // (sparse) near-dup graph per round.
+    //
+    // Each round's labels MUST be lineage-truncated (eager localCheckpoint):
+    // an un-truncated fixpoint plan grows per round — exponential
+    // analysis/explain cost long before any data moves. (On a multi-node
+    // cluster prefer a reliable checkpoint dir for fault tolerance; the
+    // algorithm is unchanged.) Partitioned on id = the same hash layout as
+    // edges.s, so round joins start co-located.
+    var labels = edges.select(col("s").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+      .repartition(parts, col("id"))
       .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val msgs = edges.join(labels, col("s") === col("id"))
-        .select(col("t").as("id"), col("cluster_id"))
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      val tRound = System.nanoTime()
+      // aggregated messages: each node's label crosses its edges once and a
+      // partial+final min folds map-side — no node's full neighborhood ever
+      // concentrates in one task. The edge⋈label join is co-partitioned
+      // (above); the label⋈message join arrives partitioned on the groupBy
+      // key.
+      val minMsgs = edges.join(labels, col("s") === col("id"))
+        .groupBy(col("t")).agg(min("cluster_id").as("__m"))
+      // fused convergence check: the SAME checkpoint action that
+      // materializes the round delivers the changed-label count via
+      // observe — one action per round (the previous separate join+isEmpty
+      // probe doubled the per-round job count)
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.join(minMsgs, col("id") === col("t"), "left")
+        .select(col("id"),
+          when(col("__m") < col("cluster_id"), col("__m"))
+            .otherwise(col("cluster_id")).as("cluster_id"),
+          coalesce(col("__m") < col("cluster_id"), lit(false)).as("__chg"))
+        .observe(obs,
+          coalesce(sum(col("__chg").cast("long")), lit(0L)).as("changed"))
+        .select("id", "cluster_id")
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("__old"))
-        .isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       releaseLocalCheckpoint(labels) // superseded round: free its blocks NOW
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC_ROUND $iter ${(System.nanoTime() - tRound) / 1e9}%.2f s converged=$converged")
     }
     // the edge set (the largest checkpoint) is only needed inside the loop;
     // relying on driver GC + ContextCleaner leaves it resident long enough
@@ -408,11 +486,17 @@ object Dedup {
       throw new IllegalStateException(
         s"nearDupClusters did not converge within maxIters=$maxIters " +
           "(component diameter exceeds the bound); raise maxIters")
-    // the returned frame stays backed by the final round's checkpoint
-    // blocks (2 columns × #docs — small; the big edge/intermediate blocks
-    // were released above); call [[releaseClusters]] when done to free
-    // them immediately instead of waiting for GC + ContextCleaner
-    labels.select(col("id").as(idCol), col("cluster_id"))
+    // singletons rejoin here: every doc absent from the edge-incident label
+    // set is its own cluster. The returned frame stays backed by the final
+    // round's checkpoint blocks (2 columns × edge-incident nodes — small;
+    // the big edge/intermediate blocks were released above); call
+    // [[releaseClusters]] when done to free them immediately instead of
+    // waiting for GC + ContextCleaner
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", "__lid"),
+        col(idCol) === col("__lid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
   /** Free the checkpoint blocks behind a [[nearDupClusters]] result. */

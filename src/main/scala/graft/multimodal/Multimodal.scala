@@ -168,6 +168,15 @@ object Multimodal {
     val bpp = bb.getShort(28).toInt
     require(bpp == 24 && bb.getInt(30) == 0,
       s"unsupported BMP variant (doc $id): bpp=$bpp compression=${bb.getInt(30)}")
+    // adversarial headers must ERROR, never produce garbage metadata (the
+    // decodePpm rule): a negative height is the top-down variant — rejected
+    // as unsupported rather than silently yielding height<0/pixel_sum 0 —
+    // and a negative/short pixel offset must not index before the header
+    require(w > 0 && h > 0,
+      s"unsupported BMP dimensions ${w}x$h (doc $id): " +
+        "non-positive (top-down negative-height BMPs are an unsupported variant)")
+    require(off >= 54 && off <= bytes.length,
+      s"BMP pixel-data offset $off out of range (doc $id)")
     val stride = ((bpp / 8 * w + 3) / 4) * 4
     require(off.toLong + stride.toLong * h <= bytes.length,
       s"truncated BMP pixel data (doc $id)")

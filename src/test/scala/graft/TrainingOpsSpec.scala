@@ -535,6 +535,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m3.width == 4 && m2.width == 3)
   }
 
+  test("BMP codec: adversarial headers error, never produce garbage metadata") {
+    def mutated(at: Int, v: Int): Array[Byte] = {
+      val b = Multimodal.synthesizeBmp(5)
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(at, v)
+      b
+    }
+    // top-down BMP (negative height) is an explicit unsupported variant —
+    // must error, not return height<0 with pixel_sum 0
+    assertThrows[IllegalArgumentException](Multimodal.decodeBmp(5, mutated(22, -12)))
+    assertThrows[IllegalArgumentException](Multimodal.decodeBmp(5, mutated(18, 0))) // zero width
+    // hostile pixel-data offset must not index before the header / the array
+    assertThrows[IllegalArgumentException](Multimodal.decodeBmp(5, mutated(10, -64)))
+    assertThrows[IllegalArgumentException](Multimodal.decodeBmp(5, mutated(10, 1 << 30)))
+  }
+
   test("PPM codec: comment-tolerant header scan, raster sum, round-trip") {
     for (id <- 0L until 16L) {
       val m = Multimodal.decodePpm(id, Multimodal.synthesizePpm(id))
