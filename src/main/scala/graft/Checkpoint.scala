@@ -91,12 +91,21 @@ object Checkpoint {
           val obs = Observation()
           val routed = Router.routeObserved(df, plan, obs)
           val enriched = lookup.map(Router.enrich(routed, _)).getOrElse(routed)
-          Router.writeFanOut(enriched, s"$outDir/data/range=$rangeId", salt = salt)
-          val sinks = Router.sinkCounts(
-            spark.read.parquet(s"$outDir/data/range=$rangeId")
-              .withColumnRenamed("new_label_ns", Router.NewLabel))
-            .collect()
-            .map(r => s"${r.getString(0)}/${r.getString(1)}" -> r.getLong(2)).toMap
+          // per-sink counts ride the WRITE action as a second observe metric
+          // (CountByKeyAgg: one bounded map entry per sink) — single pass;
+          // the previous formulation re-read every written byte of the
+          // range just to count it
+          val sinkObs = Observation()
+          val observed = enriched.observe(sinkObs,
+            graft.expressions.CountByKeyAgg(
+              org.apache.spark.sql.functions.concat_ws("/",
+                org.apache.spark.sql.functions.coalesce(
+                  org.apache.spark.sql.functions.col(Router.NewLabel),
+                  org.apache.spark.sql.functions.lit(Router.DefaultLabel)),
+                org.apache.spark.sql.functions.col(Router.NewTag))).as("sinks"))
+          Router.writeFanOut(observed, s"$outDir/data/range=$rangeId", salt = salt)
+          val sinks = sinkObs.get("sinks")
+            .asInstanceOf[scala.collection.Map[String, Long]].toMap
           val m = obs.get
           val res = RangeResult(rangeId, skipped = false,
             m("emitted").asInstanceOf[Long], m("matched").asInstanceOf[Long],

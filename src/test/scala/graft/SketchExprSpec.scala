@@ -211,4 +211,25 @@ class SketchExprSpec extends AnyFunSuite {
     assert(ham(sigs(0), sigs(1)) == 0)
     assert(ham(sigs(0), sigs(2)) < ham(sigs(0), sigs(3)))
   }
+
+  test("CountByKeyAgg ≡ groupBy().count(), incl. via observe on an action") {
+    val df = spark.range(1000).select(
+      concat(lit("k"), pmod(col("id"), lit(7))).as("k"),
+      when(pmod(col("id"), lit(13)) === 0, lit(null)).otherwise(lit("x")).as("nk"))
+      .repartition(8)
+    val want = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.select(graft.expressions.CountByKeyAgg(col("k")).as("m"))
+      .collect()(0).getMap[String, Long](0)
+    assert(got.toMap == want)
+    // null keys count under "" (defensive; routed rows always have a tag)
+    val gotNull = df.select(graft.expressions.CountByKeyAgg(col("nk")).as("m"))
+      .collect()(0).getMap[String, Long](0)
+    assert(gotNull.getOrElse("", 0L) == (0 until 1000).count(_ % 13 == 0).toLong)
+    // the observe path: metrics delivered by the same action (the
+    // single-pass sink-count shape Checkpoint.runResumable rides)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, graft.expressions.CountByKeyAgg(col("k")).as("m")).count()
+    assert(obs.get("m").asInstanceOf[scala.collection.Map[String, Long]].toMap == want)
+  }
 }
