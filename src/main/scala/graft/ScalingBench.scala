@@ -15,6 +15,10 @@ import org.apache.spark.sql.{Observation, SparkSession}
   *    synthetic documents table (planted dup clusters); throughput = input
   *    documents/sec; default 4M rows (the shuffle-heavy LSH job does ~60×
   *    more work per row than the flagship's narrow map).
+  *  - `cluster`: pair mining + the full connected-components stage
+  *    (star contraction → min-label fixpoint → singleton rejoin) — the
+  *    iterative workload, whose driver-scheduled rounds put a fixed-cost
+  *    floor under the wall time; default 4M rows.
   *
   * Method notes:
   *  - input is materialized to parquet once and re-read (generation cost
@@ -42,7 +46,8 @@ object ScalingBench {
     // keeper election + MinHash LSH pairs over the synthetic documents
     // table) — same two-level protocol, different timed job and row default
     val workload = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORKLOAD", "flagship")
-    val defaultRows = if (workload == "dedup") "4000000" else "256000000"
+    val defaultRows =
+      if (workload == "dedup" || workload == "cluster") "4000000" else "256000000"
     val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", defaultRows).toLong
     // default N=4 (levels 4 and 16): executor-realistic core counts that
     // keep 4N at half the host's 32 cores — the full-machine 8/32 pairing
@@ -62,7 +67,7 @@ object ScalingBench {
     val genSession = ScalingBenchLevel.session(big)
     val inputPath = workload match {
       case "flagship" => Synth.materialize(genSession, rows, workDir)
-      case "dedup"    => Synth.materializeDocuments(genSession, rows, workDir)
+      case "dedup" | "cluster" => Synth.materializeDocuments(genSession, rows, workDir)
       case other => throw new IllegalArgumentException(s"unknown workload: $other")
     }
     genSession.stop()
@@ -155,6 +160,23 @@ object ScalingBenchLevel {
           graft.dedup.Dedup.minHashLshPairs(df,
             numHashes = 16, bands = 4, thresholdPpm = 500000L).count()
           val sec = (System.nanoTime() - t0) / 1e9
+          (sec, inputRows)
+        }
+      case "cluster" =>
+        // the ITERATIVE stage end-to-end: LSH pair mining → star
+        // contraction → min-label fixpoint → singleton rejoin. Scaling here
+        // is bounded below by the fixpoint's per-round fixed job cost
+        // (driver-scheduled rounds don't parallelize), which is exactly why
+        // it gets its own scaling evidence; throughput = input docs/sec
+        val inputRows = df.count()
+        () => {
+          val t0 = System.nanoTime()
+          val pairs = graft.dedup.Dedup.minHashLshPairs(df,
+            numHashes = 16, bands = 4, thresholdPpm = 500000L)
+          val clusters = graft.dedup.Dedup.nearDupClusters(df, pairs)
+          clusters.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          graft.dedup.Dedup.releaseClusters(clusters)
           (sec, inputRows)
         }
       case other => throw new IllegalArgumentException(s"unknown workload: $other")

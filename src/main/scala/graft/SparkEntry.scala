@@ -484,6 +484,23 @@ object SparkEntry {
       Dedup.simHashPairsPortable(docs(s, dir), maxHamming = 12)
     }),
 
+    // substring-level dedup: repeated ≥8-word spans ACROSS documents
+    // (md5-family span fingerprints → the oracle reproduces the exact span
+    // set, positions and doc counts)
+    "q_dedup_substring" -> ((s, dir) => {
+      Dedup.substringDupSpans(docs(s, dir), k = 8)
+    }),
+
+    // benchmark decontamination: corpus docs sharing an 8-word span with
+    // the (deterministic) eval subset, with distinct-overlap counts —
+    // broadcast eval fingerprints, corpus never shuffles
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(37)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(37)) === 0))
+    }),
+
     // pairs → CLUSTERS: connected components (iterative min-label
     // propagation) over the simhash pair graph; the oracle recomputes the
     // identical pair set and resolves components with a recursive CTE
@@ -638,6 +655,17 @@ object SparkEntry {
     "q_mm_ppm_decode" -> ((s, dir) => {
       val media = Multimodal.ppmTable(s, docs(s, dir))
       Multimodal.decodePpmMeta(s, media).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pixel_sum"))
+    }),
+
+    // multimodal: PNG — synthesized from the public byte layout (zlib
+    // filter-0 scanlines, CRC-32 chunks) but decoded through the JDK's
+    // javax.imageio: a decoder we did NOT write, so the oracle certifies
+    // our byte layout and an independent codec agree pixel-for-pixel
+    "q_mm_png_decode" -> ((s, dir) => {
+      val media = Multimodal.pngTable(s, docs(s, dir))
+      Multimodal.decodeImageMeta(s, media).toDF()
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("pixel_sum"))
     }),
@@ -920,6 +948,37 @@ object SparkEntry {
         .replace("__WORDS__", duckWords).replace("__SHINGLES__", duckShingles3),
 
     "q_dedup_simhash" -> duckSimHashPairsSql,
+
+    "q_dedup_substring" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, __WORDS__ AS ws FROM documents),
+        |long_docs AS (SELECT * FROM d0 WHERE len(ws) >= 8),
+        |spans AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')) AS span_fp
+        |  FROM long_docs, unnest(range(1, len(ws) - 6)) AS t(i)),
+        |dup_fps AS (
+        |  SELECT span_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM spans GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, s.pos, s.span_fp, d.n_docs
+        |FROM spans s JOIN dup_fps d USING (span_fp)""".stripMargin
+        .replace("__WORDS__", duckWords),
+
+    "q_decontaminate" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, __WORDS__ AS ws FROM documents),
+        |long_docs AS (SELECT * FROM d0 WHERE len(ws) >= 8),
+        |spans AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')) AS span_fp
+        |  FROM long_docs, unnest(range(1, len(ws) - 6)) AS t(i)),
+        |eval_fps AS (
+        |  SELECT DISTINCT span_fp FROM spans WHERE doc_id % 37 = 0)
+        |SELECT doc_id, CAST(count(DISTINCT s.span_fp) AS BIGINT) AS n_overlap
+        |FROM spans s JOIN eval_fps e USING (span_fp)
+        |WHERE doc_id % 37 <> 0
+        |GROUP BY doc_id""".stripMargin
+        .replace("__WORDS__", duckWords),
 
     // connected components by recursive reachability: r reaches id; the
     // min reachable id per node is its component's minimum — the same
@@ -1431,6 +1490,15 @@ object SparkEntry {
         |  CAST(3 * (1 + (doc_id * 7) % 16) *
         |    list_sum(list_transform(range(0, 1 + (doc_id * 5) % 16),
         |      y -> (doc_id * 11 + y) % 256)) AS BIGINT) AS pixel_sum
+        |FROM documents""".stripMargin,
+
+    "q_mm_png_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + (doc_id * 13) % 16 AS BIGINT) AS width,
+        |  CAST(1 + (doc_id * 9) % 16 AS BIGINT) AS height,
+        |  CAST(3 * (1 + (doc_id * 13) % 16) *
+        |    list_sum(list_transform(range(0, 1 + (doc_id * 9) % 16),
+        |      y -> (doc_id * 7 + y) % 256)) AS BIGINT) AS pixel_sum
         |FROM documents""".stripMargin,
 
     "q_mm_meta" ->

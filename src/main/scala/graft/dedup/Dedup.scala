@@ -514,6 +514,78 @@ object Dedup {
       case _ =>
     }
 
+  // ---- substring-level dedup / decontamination ------------------------------
+  //
+  // Document-level dedup (exact/MinHash/SimHash above) misses repeated LONG
+  // SPANS inside otherwise-distinct documents — boilerplate, licenses,
+  // quoted passages — which public work ("Deduplicating Training Data Makes
+  // Language Models Better") removes at the substring level with suffix
+  // arrays. The distributed shape here is the bucketed long-shingle
+  // approximation: every k-word span fingerprints to md5 (oracle-portable),
+  // only (id, pos, fp) rows ever shuffle, and cross-doc repetition is a
+  // partial+final aggregate on the fingerprint.
+
+  /** One row per k-word span occurrence: (doc_id, pos, span_fp). Docs
+    * shorter than k words emit nothing — whole-doc duplication is
+    * [[exact]]/[[minHashLshPairs]] territory.
+    */
+  private def spanOccurrences(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("ws")) - (k - 1)),
+        i => md5(concat_ws(" ", slice(col("ws"), i, lit(k)))))))
+      .withColumnRenamed("col", "span_fp")
+
+  /** Substring-level dedup: every occurrence of a k-word span that appears
+    * in ≥ `minDocs` DISTINCT documents, with the span's document count —
+    * the flag set a trim/removal pass consumes. 100 TB shape: spans carry
+    * only (id, pos, 32-char fp); the distinct-doc count is a partial+final
+    * aggregate over (fp, id) then (fp) — a span duplicated across 10^8 docs
+    * collapses map-side, never concentrating in one task; the join back is
+    * fp-keyed with AQE skew-split on boilerplate fingerprints.
+    *
+    * @return (doc_id, pos, span_fp, n_docs), pos = 0-based word offset.
+    */
+  def substringDupSpans(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val spans = spanOccurrences(df, idCol, textCol, k)
+    val dupFps = spans.select("span_fp", "doc_id").distinct()
+      .groupBy("span_fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    spans.join(dupFps, Seq("span_fp"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("span_fp"), col("n_docs"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents whose k-word spans
+    * overlap an eval set's span fingerprints. The eval fingerprint table is
+    * BROADCAST (eval sets are orders of magnitude smaller than the corpus),
+    * so the corpus side never shuffles — each task probes the broadcast
+    * hash and a partial+final count folds per-doc overlaps map-side.
+    *
+    * @return one row per contaminated corpus doc: (doc_id, n_overlap) with
+    *         n_overlap = number of DISTINCT eval span fingerprints hit.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8): DataFrame = {
+    val evalFps = spanOccurrences(evalDocs, idCol, textCol, k)
+      .select("span_fp").distinct()
+    spanOccurrences(corpus, idCol, textCol, k)
+      .select("doc_id", "span_fp").distinct()
+      .join(broadcast(evalFps), Seq("span_fp"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Exact word-set Jaccard pairs within blocks (same blocking value and
     * close length) — small-block exact near-dup, SQL-mirrorable.
     *

@@ -193,6 +193,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains(("d4", "d5")))
   }
 
+  test("substring dedup: shared 8-word span flagged at exact positions") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val df = Seq(
+      ("a", s"intro words here $shared trailing stuff"), // span at pos 3
+      ("b", s"$shared completely different continuation text"), // at pos 0
+      ("c", "no overlap at all in this document text here now"),
+      ("d", "too short")) // < 8 words: emits nothing
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDupSpans(df, k = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set(("a", 3L, 2L), ("b", 0L, 2L)))
+  }
+
+  test("decontaminate: eval-span overlap counts, clean docs absent") {
+    import spark.implicits._
+    val leak = "one two three four five six seven eight nine ten"
+    val evalDocs = Seq(("e1", leak)).toDF("doc_id", "text") // spans at 0,1,2
+    val corpus = Seq(
+      ("c1", s"prefix $leak suffix words"), // contains all 3 eval spans
+      ("c2", s"one two three four five six seven eight different tail"), // 1 span
+      ("c3", "entirely clean document with no overlap whatsoever in it"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, evalDocs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("c1" -> 3L, "c2" -> 1L))
+  }
+
   test("connected components: chains, cliques, singletons, symmetry") {
     import spark.implicits._
     // component {1,2,3,4} as a CHAIN (needs multiple propagation rounds),
@@ -533,6 +561,65 @@ class MultimodalSpec extends AnyFunSuite {
     val m3 = Multimodal.decodeBmp(3, Multimodal.synthesizeBmp(3)) // w=4, 3*w=12 pad 0
     val m2 = Multimodal.decodeBmp(2, Multimodal.synthesizeBmp(2)) // w=3, 3*w=9 pad 3
     assert(m3.width == 4 && m2.width == 3)
+  }
+
+  test("PNG codec: JDK imageio decode matches closed-form synthesis") {
+    // our writer, the JDK's reader: inflate + defilter + pixel walk must
+    // reproduce the generation parameters exactly (PNG is lossless)
+    for (id <- 0L until 16L) {
+      val m = Multimodal.decodeImage(id, Multimodal.synthesizePng(id))
+      val w = (1 + (id * 13) % 16).toInt
+      val h = (1 + (id * 9) % 16).toInt
+      assert(m.width == w && m.height == h, s"doc $id dims")
+      val want = 3L * w * (0 until h).map(y => (id * 7 + y) % 256).sum
+      assert(m.pixel_sum == want, s"doc $id: got ${m.pixel_sum}, want $want")
+    }
+    // non-image payloads must error loudly, not return garbage metadata
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeImage(0, "definitely not an image".getBytes("UTF-8")))
+  }
+
+  test("JPEG round-trip through the JDK codec: exact dims, deterministic decode") {
+    for (id <- Seq(0L, 3L, 7L, 11L)) {
+      val bytes = Multimodal.synthesizeJpeg(id)
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "JFIF magic")
+      val m = Multimodal.decodeImage(id, bytes)
+      assert(m.width == (1 + (id * 13) % 16).toInt)
+      assert(m.height == (1 + (id * 9) % 16).toInt)
+      assert(m == Multimodal.decodeImage(id, bytes), "decode must be deterministic")
+      // lossy, but a uniform-gray image must stay near its source mean:
+      // per-channel-byte error bound of ±8 gray levels
+      val n = 3L * m.width * m.height
+      val wantMean = (0 until m.height).map(y => (id * 7 + y) % 256).sum / m.height
+      assert(math.abs(m.pixel_sum / n - wantMean) <= 8,
+        s"doc $id: mean ${m.pixel_sum / n} vs source $wantMean")
+    }
+  }
+
+  test("decodeFeatures: real pixel features for image payloads, stub for opaque") {
+    val png = Multimodal.synthesizePng(9) // w=(1+117%16)=6, h=(1+81%16)=2
+    val media = Seq(
+      ("img", png, "image", png.length.toLong),
+      ("opq", "opaque payload".getBytes("UTF-8"), "audio", 14L))
+      .toDF("doc_id", "media", "media_type", "n_bytes")
+    val feats = Multimodal.decodeFeatures(spark, media, featureDim = 8).collect()
+      .map(f => f.doc_id -> f).toMap
+    val img = feats("img").feature
+    assert(img(0) == 6f / 4096f && img(1) == 2f / 4096f, "dims features")
+    // uniform gray rows: (9*7+0)%256=63, (9*7+1)%256=64 → mean 63.5 per channel
+    assert(math.abs(img(2) - 63.5f / 256f) < 1e-6f)
+    assert(img(2) == img(3) && img(3) == img(4), "gray image: equal channel means")
+    // opaque payload still goes through the deterministic stub
+    assert(feats("opq").feature.toSeq ==
+      Multimodal.decodeStub("opaque payload".getBytes("UTF-8"), 8).toSeq)
+  }
+
+  test("distributed batched imageio decode ≡ local decode") {
+    val ids = (0L until 24L).toDF("doc_id")
+    val got = Multimodal.decodeImageMeta(spark, Multimodal.pngTable(spark, ids))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- 0L until 24L)
+      assert(got(id) == Multimodal.decodeImage(id, Multimodal.synthesizePng(id)))
   }
 
   test("BMP codec: adversarial headers error, never produce garbage metadata") {
