@@ -503,7 +503,13 @@ object SparkEntry {
 
     // pairs → CLUSTERS: connected components (iterative min-label
     // propagation) over the simhash pair graph; the oracle recomputes the
-    // identical pair set and resolves components with a recursive CTE
+    // identical pair set and resolves components with a recursive CTE.
+    // The returned frame stays backed by the final-round label checkpoint
+    // until GC — ACCEPTED: the result must stay live for the caller (the
+    // driver evaluates it after this function returns, so releaseClusters
+    // here would free blocks the plan still needs), and the resident set
+    // is 2 columns × edge-incident nodes only (every larger intermediate —
+    // edges, superseded rounds — is released inside nearDupClusters)
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.nearDupClusters(d, Dedup.simHashPairsPortable(d, maxHamming = 12))

@@ -357,13 +357,23 @@ object Dedup {
     * @param docs  frame holding every document (singletons become their own
     *              cluster) — pass the same frame the pairs were mined from.
     * @param pairs (id_a, id_b) rows, any orientation, duplicates fine.
+    * @param driverSolveMaxEdges when the CONTRACTED star graph has at most
+    *              this many directed edges, finish with a driver-local
+    *              union-find instead of distributed rounds — the standard
+    *              final phase of production CC (contract until small, then
+    *              solve locally), threshold-gated exactly like a broadcast
+    *              join. The near-dup graph of even a 100 TB corpus is
+    *              usually orders of magnitude smaller than the corpus;
+    *              when it genuinely is cluster-scale, the distributed
+    *              fixpoint below takes over unchanged.
     * @return one row per doc: (idCol, cluster_id).
     */
   def nearDupClusters(
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      driverSolveMaxEdges: Long = 4000000L): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     // materialize the MINED pairs once, then symmetrize from the
     // checkpoint: a union over the raw pairs plan embeds the whole mining
@@ -371,12 +381,12 @@ object Dedup {
     // exchange reuse only salvages stages below the last shuffle — the
     // verify stage would run twice
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    // symmetrized raw edge plan, hash-laid-out by source node so each
-    // node's out-edges land in ONE partition (maximizes the contraction
-    // below); read exactly once, so no checkpoint of its own
+    // symmetrized raw edge plan, read straight off the checkpoint — no
+    // reshuffle: the contraction below is correct under ANY partitioning
+    // (grouping by source would contract a bit harder, but costs a full
+    // shuffle of the raw edge set)
     val rawEdges = p.select(col("id_a").as("s"), col("id_b").as("t"))
       .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
-      .repartition(parts, col("s"))
     // Phase 1 — partition-local star contraction (the standard two-phase
     // distributed-CC shape): union-find over each edge partition emits one
     // (node ↔ partition-local root) star-edge pair per contracted node. The
@@ -390,12 +400,7 @@ object Dedup {
     // warranted: union-find's mutable parent forest has no Catalyst
     // equivalent.
     //
-    // The result is hash-partitioned on the join key ONCE (explicit count —
-    // a bare repartition(exprs) is an AQE-coalescing target): the
-    // localCheckpoint preserves output partitioning, so every round's
-    // edge⋈label join reuses this layout with NO per-round edge shuffle —
-    // the co-located iterative join a real cluster wants.
-    val edges = docs.sparkSession.createDataFrame(
+    val star = docs.sparkSession.createDataFrame(
       rawEdges.rdd.mapPartitions { it =>
         val parent = new java.util.HashMap[Any, Any]()
         def find(x: Any): Any = {
@@ -422,22 +427,99 @@ object Dedup {
           else Seq(org.apache.spark.sql.Row(n, r), org.apache.spark.sql.Row(r, n))
         }
       }, rawEdges.schema)
-      .repartition(parts, col("s"))
-      .localCheckpoint()
+    // Phase 2 — try the driver-local final solve first: ONE incremental
+    // collect bounded at threshold+1 rows (CollectLimit scans partitions
+    // incrementally and bails early when the graph is big, so the gate
+    // itself is cheap either way). The contracted dup graph of even a
+    // 100 TB corpus is usually orders of magnitude smaller than the
+    // corpus — this is the same small-side materialization bet a broadcast
+    // join makes, threshold-gated the same way.
+    val limit = (math.min(driverSolveMaxEdges, Int.MaxValue - 2L) + 1L).toInt
+    val collected = star.limit(limit).collect()
+    val labels: DataFrame =
+      if (collected.length < limit)
+        driverSolveLabels(docs.sparkSession, collected, star.schema.head.dataType)
+      else {
+        // dup graph genuinely cluster-scale: fall back to the distributed
+        // min-label fixpoint. Star edges materialize hash-partitioned on
+        // the join key (explicit count — a bare repartition(exprs) is an
+        // AQE-coalescing target); localCheckpoint preserves the
+        // partitioning, so every round's edge⋈label join reuses this
+        // layout with NO per-round edge shuffle. The fixpoint iterates
+        // ONLY over edge-incident nodes — singletons rejoin at the end —
+        // so each round shuffles the (sparse) dup graph, never the corpus.
+        val edges = star.repartition(parts, col("s")).localCheckpoint()
+        val out = distributedFixpointLabels(edges, parts, maxIters)
+        // the edge checkpoint is only needed inside the rounds; relying on
+        // driver GC + ContextCleaner leaves it resident long enough to
+        // evict/pressure later queries in the same session
+        releaseLocalCheckpoint(edges)
+        out
+      }
     releaseLocalCheckpoint(p)
-    // the fixpoint iterates ONLY over edge-incident nodes: a singleton (the
-    // overwhelming majority of any real corpus) is trivially its own
-    // cluster and joins back after convergence, so the iterated frame is
-    // bounded by 2×|pairs| distinct ids, not |docs| — at 100 TB that is the
-    // difference between shuffling the corpus per round and shuffling the
-    // (sparse) near-dup graph per round.
-    //
-    // Each round's labels MUST be lineage-truncated (eager localCheckpoint):
-    // an un-truncated fixpoint plan grows per round — exponential
-    // analysis/explain cost long before any data moves. (On a multi-node
-    // cluster prefer a reliable checkpoint dir for fault tolerance; the
-    // algorithm is unchanged.) Partitioned on id = the same hash layout as
-    // edges.s, so round joins start co-located.
+    // singletons rejoin here: every doc absent from the edge-incident label
+    // set is its own cluster. The returned frame stays backed by the final
+    // labels (a LocalRelation on the driver path; 2 columns ×
+    // edge-incident nodes of checkpoint blocks on the distributed path —
+    // the big edge/intermediate blocks were released above); call
+    // [[releaseClusters]] when done to free checkpoint blocks immediately
+    // instead of waiting for GC + ContextCleaner
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", "__lid"),
+        col(idCol) === col("__lid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Driver-local final phase: union-find over the (small, contracted,
+    * already-collected) star edges with min-id label election — replaces
+    * diameter-many distributed rounds with O(E α(E)) local work.
+    */
+  private def driverSolveLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      starEdges: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      if (!parent.containsKey(x)) { parent.put(x, x); x }
+      else {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+    }
+    starEdges.foreach { row =>
+      val ra = find(row.get(0))
+      val rb = find(row.get(1))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    import scala.jdk.CollectionConverters._
+    val nodes = parent.keySet.asScala.toVector // freeze: find() mutates
+    val minOf = new java.util.HashMap[Any, Any]()
+    nodes.foreach { n =>
+      val r = find(n)
+      val m = minOf.get(r)
+      if (m == null || lt(n, m)) minOf.put(r, n)
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      nodes.map(n =>
+        org.apache.spark.sql.Row(n, minOf.get(find(n)))).asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType))))
+  }
+
+  /** Distributed min-label fixpoint over the (symmetric, co-partitioned,
+    * checkpointed) edge frame — the path for dup graphs too large to solve
+    * on the driver. Returns (id, cluster_id) for every edge-incident node,
+    * backed by the final round's checkpoint.
+    */
+  private def distributedFixpointLabels(
+      edges: DataFrame, parts: Int, maxIters: Int): DataFrame = {
     var labels = edges.select(col("s").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
@@ -475,10 +557,6 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"CC_ROUND $iter ${(System.nanoTime() - tRound) / 1e9}%.2f s converged=$converged")
     }
-    // the edge set (the largest checkpoint) is only needed inside the loop;
-    // relying on driver GC + ContextCleaner leaves it resident long enough
-    // to evict/pressure later queries in the same session
-    releaseLocalCheckpoint(edges)
     // loud failure, not a warning: returning upper-bound labels would
     // surface as an inexplicable value mismatch against the exact-fixpoint
     // oracle, far from the root cause
@@ -486,17 +564,7 @@ object Dedup {
       throw new IllegalStateException(
         s"nearDupClusters did not converge within maxIters=$maxIters " +
           "(component diameter exceeds the bound); raise maxIters")
-    // singletons rejoin here: every doc absent from the edge-incident label
-    // set is its own cluster. The returned frame stays backed by the final
-    // round's checkpoint blocks (2 columns × edge-incident nodes — small;
-    // the big edge/intermediate blocks were released above); call
-    // [[releaseClusters]] when done to free them immediately instead of
-    // waiting for GC + ContextCleaner
-    docs.select(col(idCol))
-      .join(labels.withColumnRenamed("id", "__lid"),
-        col(idCol) === col("__lid"), "left")
-      .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    labels
   }
 
   /** Free the checkpoint blocks behind a [[nearDupClusters]] result. */

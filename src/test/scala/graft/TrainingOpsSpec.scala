@@ -230,15 +230,26 @@ class DedupSpec extends AnyFunSuite {
       (2L, 1L), (2L, 3L), (4L, 3L), // chain, mixed orientation
       (10L, 11L), (11L, 12L), (10L, 12L), (10L, 11L)) // clique + dup edge
       .toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L)
+    // default path: the contracted graph is tiny → driver-local union-find
     val got = Dedup.nearDupClusters(nodes, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
-    // a long chain exercises the multi-round fixpoint (diameter 9)
+    assert(got == want)
+    // the DISTRIBUTED fixpoint must produce the identical labels
+    // (threshold 0 forces it past the driver-solve gate)
+    val gotDist = Dedup.nearDupClusters(nodes, pairs, driverSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == want)
+    // a long chain exercises the multi-round fixpoint (diameter 9), again
+    // on both paths
     val chainNodes = (0L until 10L).toDF("doc_id")
     val chainPairs = (0L until 9L).map(i => (i + 1, i)).toDF("id_a", "id_b")
-    val chain = Dedup.nearDupClusters(chainNodes, chainPairs).collect()
-    assert(chain.forall(_.getLong(1) == 0L))
+    for (threshold <- Seq(Long.MaxValue, 0L)) {
+      val chain = Dedup.nearDupClusters(chainNodes, chainPairs,
+        driverSolveMaxEdges = threshold).collect()
+      assert(chain.forall(_.getLong(1) == 0L), s"threshold=$threshold")
+    }
   }
 
   test("degenerate LSH bucket is pruned, live pairs survive (MinHash + SimHash)") {
