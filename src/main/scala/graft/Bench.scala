@@ -23,28 +23,34 @@ object Bench {
           k = 10, numPlanes = 6, probes = 7, dim = 64)
       }))
   }
-  /** Median of `reps` timed runs, or (-1, the first failure message) if any
-    * rep throws — a failure must surface in the bench JSON as an error, not
-    * as a (suspiciously fast) timing.
+  /** One untimed warm-up run, then the median of `reps` timed runs — or
+    * (-1, the first failure message) if any run throws: a failure must
+    * surface in the bench JSON as an error, never as a (suspiciously fast)
+    * timing. The per-query warm-up is load-bearing for comparability: each
+    * query's first execution pays its own codegen+JIT (measured 5.7 s →
+    * 1.3 s steady state for the md5-minhash plan), so without it a query's
+    * median depends on where map ordering happened to place it — adding an
+    * unrelated query would read as a phantom regression elsewhere.
     */
   private[graft] def measure(reps: Int)(run: () => Unit): (Double, Option[String]) = {
-    val runs = (1 to reps).map { _ =>
+    val times = Vector.newBuilder[Double]
+    var i = 0
+    while (i <= reps) {
       val t0 = System.nanoTime()
-      try { run(); ((System.nanoTime() - t0) / 1e9, None) }
+      try { run(); times += (System.nanoTime() - t0) / 1e9 }
       catch {
         case t: Throwable =>
-          val msg = t.getClass.getSimpleName + ": " +
+          // first failure wins and ends the query: re-running a
+          // known-broken (possibly slow-to-fail) query reps more times
+          // buys nothing
+          return (-1.0, Some(t.getClass.getSimpleName + ": " +
             Option(t.getMessage).getOrElse("").linesIterator.take(1)
-              .mkString.take(160)
-          ((System.nanoTime() - t0) / 1e9, Some(msg))
+              .mkString.take(160)))
       }
+      i += 1
     }
-    runs.collectFirst { case (_, Some(e)) => e } match {
-      case Some(e) => (-1.0, Some(e))
-      case None =>
-        val ts = runs.map(_._1).sorted
-        (ts(ts.length / 2), None)
-    }
+    val ts = times.result().drop(1).sorted // drop the warm-up run
+    (ts(ts.length / 2), None)
   }
 
   private[graft] def escJson(s: String): String =

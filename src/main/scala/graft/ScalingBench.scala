@@ -164,16 +164,23 @@ object ScalingBenchLevel {
         }
       case "cluster" =>
         // the ITERATIVE stage end-to-end: LSH pair mining → star
-        // contraction → min-label fixpoint → singleton rejoin. Scaling here
-        // is bounded below by the fixpoint's per-round fixed job cost
-        // (driver-scheduled rounds don't parallelize), which is exactly why
-        // it gets its own scaling evidence; throughput = input docs/sec
+        // contraction → min-label fixpoint → singleton rejoin, with the
+        // driver-solve shortcut DISABLED (threshold 0): a 100 TB dup graph
+        // exceeds the driver threshold, so the distributed fixpoint is the
+        // path whose scaling matters — letting the serial driver solve run
+        // here would measure Amdahl's law on a deliberate small-graph
+        // latency optimization, not the engine (measured: 0.655 with the
+        // shortcut vs the fixpoint's own number in BASELINE.md §r4).
+        // Scaling is still bounded below by per-round fixed job costs
+        // (driver-scheduled rounds), which is exactly why this workload
+        // gets its own evidence; throughput = input docs/sec
         val inputRows = df.count()
         () => {
           val t0 = System.nanoTime()
           val pairs = graft.dedup.Dedup.minHashLshPairs(df,
             numHashes = 16, bands = 4, thresholdPpm = 500000L)
-          val clusters = graft.dedup.Dedup.nearDupClusters(df, pairs)
+          val clusters = graft.dedup.Dedup.nearDupClusters(df, pairs,
+            driverSolveMaxEdges = 0L)
           clusters.count()
           val sec = (System.nanoTime() - t0) / 1e9
           graft.dedup.Dedup.releaseClusters(clusters)

@@ -362,10 +362,16 @@ object Dedup {
     *              union-find instead of distributed rounds — the standard
     *              final phase of production CC (contract until small, then
     *              solve locally), threshold-gated exactly like a broadcast
-    *              join. The near-dup graph of even a 100 TB corpus is
-    *              usually orders of magnitude smaller than the corpus;
-    *              when it genuinely is cluster-scale, the distributed
-    *              fixpoint below takes over unchanged.
+    *              join. The default (1M 2-column rows ≈ low hundreds of MB
+    *              of transient driver structures) is sized like a large
+    *              broadcast; raise it only with driver heap to spare. The
+    *              near-dup graph of even a 100 TB corpus is usually orders
+    *              of magnitude smaller than the corpus; when it genuinely
+    *              is cluster-scale, the distributed fixpoint takes over
+    *              unchanged — pass 0 to force it (no gate scan runs).
+    *              Ids must be an atomic comparable type (string/numeric —
+    *              not binary/struct): both phases key hash maps and elect
+    *              min labels on them.
     * @return one row per doc: (idCol, cluster_id).
     */
   def nearDupClusters(
@@ -373,7 +379,7 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIters: Int = 20,
-      driverSolveMaxEdges: Long = 4000000L): DataFrame = {
+      driverSolveMaxEdges: Long = 1000000L): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     // materialize the MINED pairs once, then symmetrize from the
     // checkpoint: a union over the raw pairs plan embeds the whole mining
@@ -402,27 +408,10 @@ object Dedup {
     //
     val star = docs.sparkSession.createDataFrame(
       rawEdges.rdd.mapPartitions { it =>
-        val parent = new java.util.HashMap[Any, Any]()
-        def find(x: Any): Any = {
-          if (!parent.containsKey(x)) { parent.put(x, x); x }
-          else {
-            var r = x
-            while (parent.get(r) != r) r = parent.get(r)
-            var c = x // path compression
-            while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
-            r
-          }
-        }
-        it.foreach { row =>
-          val ra = find(row.get(0))
-          val rb = find(row.get(1))
-          if (ra != rb) parent.put(ra, rb)
-        }
-        import scala.jdk.CollectionConverters._
-        // freeze the key set first: find()'s path compression mutates the
-        // map, and HashMap iteration under mutation throws
-        parent.keySet.asScala.toVector.iterator.flatMap { n =>
-          val r = find(n)
+        val uf = new UnionFind // instantiated per task, never serialized
+        it.foreach(row => uf.union(row.get(0), row.get(1)))
+        uf.nodes.iterator.flatMap { n =>
+          val r = uf.find(n)
           if (n == r) Nil
           else Seq(org.apache.spark.sql.Row(n, r), org.apache.spark.sql.Row(r, n))
         }
@@ -433,11 +422,15 @@ object Dedup {
     // itself is cheap either way). The contracted dup graph of even a
     // 100 TB corpus is usually orders of magnitude smaller than the
     // corpus — this is the same small-side materialization bet a broadcast
-    // join makes, threshold-gated the same way.
-    val limit = (math.min(driverSolveMaxEdges, Int.MaxValue - 2L) + 1L).toInt
-    val collected = star.limit(limit).collect()
+    // join makes, threshold-gated the same way. A non-positive threshold
+    // skips the gate scan entirely (forced-distributed callers must not
+    // pay a discarded contraction pass).
+    val limit = (math.min(math.max(driverSolveMaxEdges, 0L), Int.MaxValue - 2L) + 1L).toInt
+    val collected =
+      if (driverSolveMaxEdges <= 0) Array.empty[org.apache.spark.sql.Row]
+      else star.limit(limit).collect()
     val labels: DataFrame =
-      if (collected.length < limit)
+      if (driverSolveMaxEdges > 0 && collected.length < limit)
         driverSolveLabels(docs.sparkSession, collected, star.schema.head.dataType)
       else {
         // dup graph genuinely cluster-scale: fall back to the distributed
@@ -471,15 +464,13 @@ object Dedup {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
-  /** Driver-local final phase: union-find over the (small, contracted,
-    * already-collected) star edges with min-id label election — replaces
-    * diameter-many distributed rounds with O(E α(E)) local work.
+  /** Mutable union-find over opaque ids (HashMap parent forest, path
+    * compression) — ONE implementation for the phase-1 task-local
+    * contraction and the driver-local final solve; instantiated where it
+    * runs, never serialized.
     */
-  private def driverSolveLabels(
-      spark: org.apache.spark.sql.SparkSession,
-      starEdges: Array[org.apache.spark.sql.Row],
-      idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val parent = new java.util.HashMap[Any, Any]()
+  private final class UnionFind {
+    private val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
       if (!parent.containsKey(x)) { parent.put(x, x); x }
       else {
@@ -490,24 +481,54 @@ object Dedup {
         r
       }
     }
-    starEdges.foreach { row =>
-      val ra = find(row.get(0))
-      val rb = find(row.get(1))
-      if (ra != rb) parent.put(ra, rb)
+    def union(a: Any, b: Any): Unit = {
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { parent.put(ra, rb); () }
     }
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    /** Frozen node list — find()'s path compression mutates the map, and
+      * HashMap iteration under mutation throws.
+      */
+    def nodes: Vector[Any] = {
+      import scala.jdk.CollectionConverters._
+      parent.keySet.asScala.toVector
+    }
+  }
+
+  /** Spark-consistent "less than" for driver-side label election: STRING
+    * ids compare as UTF-8 bytes (Spark's `min` on StringType is UTF8String
+    * binary order, which diverges from java.lang.String's UTF-16 order on
+    * supplementary characters); numeric/date ids via their natural
+    * Comparable order, which matches Spark's.
+    */
+  private def sparkLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+  }
+
+  /** Driver-local final phase: union-find over the (small, contracted,
+    * already-collected) star edges with min-id label election — replaces
+    * diameter-many distributed rounds with O(E α(E)) local work.
+    */
+  private def driverSolveLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      starEdges: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val uf = new UnionFind
+    starEdges.foreach(row => uf.union(row.get(0), row.get(1)))
     import scala.jdk.CollectionConverters._
-    val nodes = parent.keySet.asScala.toVector // freeze: find() mutates
+    val nodes = uf.nodes
     val minOf = new java.util.HashMap[Any, Any]()
     nodes.foreach { n =>
-      val r = find(n)
+      val r = uf.find(n)
       val m = minOf.get(r)
-      if (m == null || lt(n, m)) minOf.put(r, n)
+      if (m == null || sparkLt(n, m)) minOf.put(r, n)
     }
     val rows: java.util.List[org.apache.spark.sql.Row] =
       nodes.map(n =>
-        org.apache.spark.sql.Row(n, minOf.get(find(n)))).asJava
+        org.apache.spark.sql.Row(n, minOf.get(uf.find(n)))).asJava
     spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("cluster_id", idType))))

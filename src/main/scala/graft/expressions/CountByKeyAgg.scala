@@ -37,20 +37,11 @@ case class CountByKeyAgg(
   override def createAggregationBuffer(): java.util.TreeMap[UTF8String, Long] =
     new java.util.TreeMap[UTF8String, Long]()
 
-  // UTF8String from an UnsafeRow may point into task-reused buffers — copy
-  // the bytes on retention (same rationale as KMinStringsAgg.owned)
-  private def owned(v: UTF8String): UTF8String = {
-    val bytes = v.getBytes
-    if (bytes.asInstanceOf[AnyRef] eq v.getBaseObject)
-      UTF8String.fromBytes(bytes.clone())
-    else UTF8String.fromBytes(bytes)
-  }
-
   private def add(
       b: java.util.TreeMap[UTF8String, Long],
       k: UTF8String, n: Long, copy: Boolean): Unit =
     if (b.containsKey(k)) { b.put(k, b.get(k) + n); () }
-    else { b.put(if (copy) owned(k) else k, n); () }
+    else { b.put(if (copy) AggBuffers.owned(k) else k, n); () }
 
   override def update(
       b: java.util.TreeMap[UTF8String, Long],

@@ -40,23 +40,13 @@ case class KMinStringsAgg(
   override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
     new java.util.TreeSet[UTF8String]()
 
-  // UTF8String from an UnsafeRow may point into task-reused buffers — copy
-  // the bytes on retention. getBytes already returns a fresh array unless
-  // the string spans its backing byte[] exactly; clone only in that case.
-  private def owned(v: UTF8String): UTF8String = {
-    val bytes = v.getBytes
-    if (bytes.asInstanceOf[AnyRef] eq v.getBaseObject)
-      UTF8String.fromBytes(bytes.clone())
-    else UTF8String.fromBytes(bytes)
-  }
-
   /** Insert only if it would rank among the k smallest (set dedups);
     * `copy` = false for values this aggregate already owns (merge /
     * deserialize paths), true for row-backed input.
     */
   private def add(
       b: java.util.TreeSet[UTF8String], v: UTF8String, copy: Boolean): Unit = {
-    def retained = if (copy) owned(v) else v
+    def retained = if (copy) AggBuffers.owned(v) else v
     if (b.size < k) { b.add(retained); () }
     else if (v.compareTo(b.last) < 0 && b.add(retained)) { b.pollLast(); () }
   }

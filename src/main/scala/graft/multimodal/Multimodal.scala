@@ -97,15 +97,18 @@ object Multimodal {
     * else — audio/video payloads and the synthetic text stand-ins, for
     * which this container has no codec — falls back to [[decodeStub]].
     */
-  private[multimodal] def decodeAuto(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def decodeAuto(bytes: Array[Byte], dim: Int): Array[Float] = {
     def b(i: Int) = bytes(i) & 0xff
     val looksImage = bytes.length >= 4 &&
       ((b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
         (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) ||
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
         (b(0) == 'B' && b(1) == 'M'))
+    // a matching magic does NOT guarantee a decodable body (a text payload
+    // can legitimately start with "BM" or "GIF8"): ImageIO signals garbage
+    // bodies with exceptions, not just null — either way, fall back
     val img = if (looksImage)
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      try readImage(bytes) catch { case _: Exception => null }
     else null
     if (img == null) decodeStub(bytes, dim) // magic lied / genuinely opaque
     else {
@@ -364,12 +367,24 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** One-time per-JVM: ImageIO's default use-cache wraps every read in a
+    * FileCacheImageInputStream — a temp-file create/write/delete per image
+    * on the hot per-row path, buffering bytes that are already in memory.
+    */
+  private lazy val imageIoMemoryOnly: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoMemoryOnly
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** Real decode of any JDK-decodable image payload (PNG, JPEG, BMP, GIF)
     * via javax.imageio; sums R+G+B over all pixels. Reuses [[BmpMeta]]
     * (bpp reported as 24 — the RGB channel model this pipeline extracts).
     */
   def decodeImage(id: Long, bytes: Array[Byte]): BmpMeta = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readImage(bytes)
     require(img != null, s"payload is not a JDK-decodable image (doc $id)")
     val w = img.getWidth
     val h = img.getHeight

@@ -623,6 +623,15 @@ class MultimodalSpec extends AnyFunSuite {
     // opaque payload still goes through the deterministic stub
     assert(feats("opq").feature.toSeq ==
       Multimodal.decodeStub("opaque payload".getBytes("UTF-8"), 8).toSeq)
+    // lying magic: a TEXT payload starting with a codec magic must fall
+    // back to the stub (ImageIO throws on the garbage body — the decode
+    // must not kill the job)
+    for (lie <- Seq("BMW is a car maker, not a bitmap",
+      "GIF89a was a fine format in its day")) {
+      val bytes = lie.getBytes("UTF-8")
+      assert(Multimodal.decodeAuto(bytes, 8).toSeq ==
+        Multimodal.decodeStub(bytes, 8).toSeq, lie)
+    }
   }
 
   test("distributed batched imageio decode ≡ local decode") {
