@@ -133,7 +133,14 @@ object ScalingBenchLevel {
     val Array(kStr, inputPath, repsStr, workload) = args
     val k = kStr.toInt
     val reps = repsStr.toInt
-    val spark = session(k)
+    // spill-aware sizing: the narrow flagship map wants one task wave
+    // (partitions = cores), but the cluster workload's graph joins, sorts
+    // and checkpoints hold per-task buffers proportional to rows/partition —
+    // at 16M docs, cores-many partitions OOMed the 16-core level. 4×cores
+    // matches how a real executor fleet sizes graph shuffles (thousands of
+    // partitions), and applies identically at both levels, so the N-vs-4N
+    // ratio stays fair.
+    val spark = session(k, if (workload == "cluster") 4 * k else k)
     val df = spark.read.parquet(inputPath)
 
     val once: () => (Double, Long) = workload match {
@@ -196,11 +203,12 @@ object ScalingBenchLevel {
     spark.stop()
   }
 
-  def session(cores: Int): SparkSession = {
+  def session(cores: Int, shufflePartitions: Int = -1): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions",
+        if (shufflePartitions > 0) shufflePartitions else cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")

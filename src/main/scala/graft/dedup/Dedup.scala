@@ -386,13 +386,30 @@ object Dedup {
     // pipeline (banding → bucket join → verify) as BOTH union children, and
     // exchange reuse only salvages stages below the last shuffle — the
     // verify stage would run twice
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    // symmetrized raw edge plan, read straight off the checkpoint — no
-    // reshuffle: the contraction below is correct under ANY partitioning
-    // (grouping by source would contract a bit harder, but costs a full
-    // shuffle of the raw edge set)
-    val rawEdges = p.select(col("id_a").as("s"), col("id_b").as("t"))
+    // pair count rides the checkpoint action as an observe metric (no
+    // extra job) — it sizes the contraction below
+    val pObs = org.apache.spark.sql.Observation()
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .observe(pObs, coalesce(count(lit(1)), lit(0L)).as("n"))
+      .localCheckpoint()
+    val nEdges = 2L * pObs.get("n").asInstanceOf[Long]
+    // symmetrized raw edge plan. The union-find task below holds one boxed
+    // map entry per distinct node in its partition, so edges-per-task must
+    // be BOUNDED BY CONSTRUCTION: the mined pair frame's partitioning is
+    // whatever AQE coalesced the verify join to (often a handful of
+    // partitions — "small bytes" ≠ small heap once boxed), and at 16M docs
+    // the unbounded form OOMed the 16-core level of the scaling bench.
+    // Small graphs (≤ one task's budget) skip the shuffle entirely; larger
+    // ones repartition by source node, which also groups each node's
+    // out-edges for maximal contraction.
+    val edgesPerTask = 500000L
+    val raw0 = p.select(col("id_a").as("s"), col("id_b").as("t"))
       .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
+    val rawEdges =
+      if (nEdges <= edgesPerTask) raw0
+      else raw0.repartition(
+        math.max(parts, math.ceil(nEdges.toDouble / edgesPerTask).toInt),
+        col("s"))
     // Phase 1 — partition-local star contraction (the standard two-phase
     // distributed-CC shape): union-find over each edge partition emits one
     // (node ↔ partition-local root) star-edge pair per contracted node. The
