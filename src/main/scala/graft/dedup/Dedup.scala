@@ -372,6 +372,11 @@ object Dedup {
     *              Ids must be an atomic comparable type (string/numeric —
     *              not binary/struct): both phases key hash maps and elect
     *              min labels on them.
+    * @param edgesPerTask memory budget for the phase-1 contraction: raw
+    *              edge streams larger than this repartition round-robin to
+    *              ceil(edges / edgesPerTask) tasks, bounding each task's
+    *              union-find map (≈100 B/edge of boxed state). Exposed for
+    *              executor-heap tuning and for tests.
     * @return one row per doc: (idCol, cluster_id).
     */
   def nearDupClusters(
@@ -379,7 +384,8 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIters: Int = 20,
-      driverSolveMaxEdges: Long = 1000000L): DataFrame = {
+      driverSolveMaxEdges: Long = 1000000L,
+      edgesPerTask: Long = 500000L): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     // materialize the MINED pairs once, then symmetrize from the
     // checkpoint: a union over the raw pairs plan embeds the whole mining
@@ -400,16 +406,16 @@ object Dedup {
     // partitions — "small bytes" ≠ small heap once boxed), and at 16M docs
     // the unbounded form OOMed the 16-core level of the scaling bench.
     // Small graphs (≤ one task's budget) skip the shuffle entirely; larger
-    // ones repartition by source node, which also groups each node's
-    // out-edges for maximal contraction.
-    val edgesPerTask = 500000L
+    // ones repartition ROUND-ROBIN, which bounds rows-per-task exactly —
+    // hashing by source node would funnel a hub node's entire (possibly
+    // multi-million-edge) neighborhood into one task, re-creating the OOM
+    // under degree skew. The contraction is correct under any partitioning.
     val raw0 = p.select(col("id_a").as("s"), col("id_b").as("t"))
       .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
     val rawEdges =
       if (nEdges <= edgesPerTask) raw0
       else raw0.repartition(
-        math.max(parts, math.ceil(nEdges.toDouble / edgesPerTask).toInt),
-        col("s"))
+        math.max(parts, math.ceil(nEdges.toDouble / edgesPerTask).toInt))
     // Phase 1 — partition-local star contraction (the standard two-phase
     // distributed-CC shape): union-find over each edge partition emits one
     // (node ↔ partition-local root) star-edge pair per contracted node. The
@@ -433,38 +439,52 @@ object Dedup {
           else Seq(org.apache.spark.sql.Row(n, r), org.apache.spark.sql.Row(r, n))
         }
       }, rawEdges.schema)
-    // Phase 2 — try the driver-local final solve first: ONE incremental
-    // collect bounded at threshold+1 rows (CollectLimit scans partitions
-    // incrementally and bails early when the graph is big, so the gate
-    // itself is cheap either way). The contracted dup graph of even a
-    // 100 TB corpus is usually orders of magnitude smaller than the
-    // corpus — this is the same small-side materialization bet a broadcast
-    // join makes, threshold-gated the same way. A non-positive threshold
-    // skips the gate scan entirely (forced-distributed callers must not
-    // pay a discarded contraction pass).
-    val limit = (math.min(math.max(driverSolveMaxEdges, 0L), Int.MaxValue - 2L) + 1L).toInt
-    val collected =
-      if (driverSolveMaxEdges <= 0) Array.empty[org.apache.spark.sql.Row]
-      else star.limit(limit).collect()
+    // Phase 2 — driver-local final solve when the contracted graph is
+    // small: the same small-side materialization bet a broadcast join
+    // makes, threshold-gated the same way. Three cases, each executing the
+    // contraction exactly ONCE:
+    //  - raw graph within one task's budget AND under the threshold → the
+    //    star read straight off the pair checkpoint (no shuffle anywhere);
+    //    collect is bounded by nEdges itself. The common near-dup case.
+    //  - larger graph with the driver solve enabled → materialize the star
+    //    once (its own size rides the checkpoint action as an observe
+    //    metric), then branch on the MEASURED size; both consumers read
+    //    the checkpoint, so the contraction never re-executes.
+    //  - threshold ≤ 0 (forced distributed) → skip every gate scan.
     val labels: DataFrame =
-      if (driverSolveMaxEdges > 0 && collected.length < limit)
-        driverSolveLabels(docs.sparkSession, collected, star.schema.head.dataType)
-      else {
-        // dup graph genuinely cluster-scale: fall back to the distributed
-        // min-label fixpoint. Star edges materialize hash-partitioned on
-        // the join key (explicit count — a bare repartition(exprs) is an
-        // AQE-coalescing target); localCheckpoint preserves the
-        // partitioning, so every round's edge⋈label join reuses this
-        // layout with NO per-round edge shuffle. The fixpoint iterates
-        // ONLY over edge-incident nodes — singletons rejoin at the end —
-        // so each round shuffles the (sparse) dup graph, never the corpus.
-        val edges = star.repartition(parts, col("s")).localCheckpoint()
-        val out = distributedFixpointLabels(edges, parts, maxIters)
-        // the edge checkpoint is only needed inside the rounds; relying on
-        // driver GC + ContextCleaner leaves it resident long enough to
-        // evict/pressure later queries in the same session
-        releaseLocalCheckpoint(edges)
-        out
+      if (driverSolveMaxEdges > 0 &&
+        nEdges <= math.min(edgesPerTask, driverSolveMaxEdges)) {
+        driverSolveLabels(docs.sparkSession, star.collect(), star.schema.head.dataType)
+      } else {
+        val starObs = org.apache.spark.sql.Observation()
+        val starCk = star
+          .observe(starObs, coalesce(count(lit(1)), lit(0L)).as("n"))
+          .localCheckpoint()
+        val nStar = starObs.get("n").asInstanceOf[Long]
+        if (driverSolveMaxEdges > 0 && nStar <= driverSolveMaxEdges) {
+          val out = driverSolveLabels(
+            docs.sparkSession, starCk.collect(), star.schema.head.dataType)
+          releaseLocalCheckpoint(starCk) // labels are a LocalRelation now
+          out
+        } else {
+          // dup graph genuinely cluster-scale: fall back to the
+          // distributed min-label fixpoint. Star edges re-lay-out
+          // hash-partitioned on the join key (explicit count — a bare
+          // repartition(exprs) is an AQE-coalescing target);
+          // localCheckpoint preserves the partitioning, so every round's
+          // edge⋈label join reuses this layout with NO per-round edge
+          // shuffle. The fixpoint iterates ONLY over edge-incident nodes —
+          // singletons rejoin at the end — so each round shuffles the
+          // (sparse) dup graph, never the corpus.
+          val edges = starCk.repartition(parts, col("s")).localCheckpoint()
+          releaseLocalCheckpoint(starCk)
+          val out = distributedFixpointLabels(edges, parts, maxIters)
+          // the edge checkpoint is only needed inside the rounds; relying
+          // on driver GC + ContextCleaner leaves it resident long enough
+          // to evict/pressure later queries in the same session
+          releaseLocalCheckpoint(edges)
+          out
+        }
       }
     releaseLocalCheckpoint(p)
     // singletons rejoin here: every doc absent from the edge-incident label

@@ -176,4 +176,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodes.count(_.nodeName.contains("HashAggregate")) >= 2,
       s"expected partial+final HashAggregate:\n${out.queryExecution.executedPlan}")
   }
+
+  test("substring dedup counts distinct docs per span via partial+final agg, no collect") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.dedup.Dedup.substringDupSpans(docs, k = 8)
+    val nodes = executedNodes(out)
+    // the (fp, id) dedupe and the per-fp count must BOTH be hash
+    // aggregates with a partial stage (a boilerplate span duplicated
+    // across 10^8 docs collapses map-side); no gather of occurrences
+    assert(nodes.count(_.nodeName.contains("HashAggregate")) >= 4,
+      s"expected two partial+final aggregate pairs:\n${out.queryExecution.executedPlan}")
+    assert(!nodes.exists(_.toString.contains("collect_list")),
+      "no occurrence list may ever be gathered")
+  }
+
+  test("decontaminate broadcasts the eval fingerprints; corpus side never shuffles pre-join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.dedup.Dedup.decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(37)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(37)) === 0))
+    val nodes = executedNodes(out)
+    assert(nodes.collect { case b: BroadcastExchangeLike => b }.nonEmpty,
+      s"eval fingerprint table must broadcast:\n${out.queryExecution.executedPlan}")
+    // corpus-side shuffles: the (doc, fp) distinct and the final per-doc
+    // count — but NO shuffle join of corpus against eval
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "corpus⋈eval must be a broadcast hash join, never a shuffle join")
+  }
 }

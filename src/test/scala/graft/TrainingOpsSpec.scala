@@ -250,6 +250,16 @@ class DedupSpec extends AnyFunSuite {
         driverSolveMaxEdges = threshold).collect()
       assert(chain.forall(_.getLong(1) == 0L), s"threshold=$threshold")
     }
+    // middle gate branch: edges exceed the per-task contraction budget
+    // (round-robin repartition + star checkpoint + observed size), but the
+    // measured star still fits the driver threshold → driver solve
+    val mid = Dedup.nearDupClusters(chainNodes, chainPairs,
+      driverSolveMaxEdges = 100L, edgesPerTask = 4L).collect()
+    assert(mid.forall(_.getLong(1) == 0L))
+    // and the same budget with a sub-star threshold → distributed fixpoint
+    val midDist = Dedup.nearDupClusters(chainNodes, chainPairs,
+      driverSolveMaxEdges = 2L, edgesPerTask = 4L).collect()
+    assert(midDist.forall(_.getLong(1) == 0L))
   }
 
   test("degenerate LSH bucket is pruned, live pairs survive (MinHash + SimHash)") {
