@@ -491,6 +491,14 @@ object SparkEntry {
       Dedup.substringDupSpans(docs(s, dir), k = 8)
     }),
 
+    // substring-level REMOVAL: drop every word covered by a non-canonical
+    // duplicated-span occurrence (one copy of each duplicated passage
+    // survives — the published "all but one copy" trim); the oracle
+    // rebuilds the cleaned text word-for-word
+    "q_dedup_span_trim" -> ((s, dir) => {
+      Dedup.trimDupSpans(docs(s, dir), k = 8)
+    }),
+
     // benchmark decontamination: corpus docs sharing an 8-word span with
     // the (deterministic) eval subset, with distinct-overlap counts —
     // broadcast eval fingerprints, corpus never shuffles
@@ -968,6 +976,40 @@ object SparkEntry {
         |  FROM spans GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2)
         |SELECT s.doc_id, s.pos, s.span_fp, d.n_docs
         |FROM spans s JOIN dup_fps d USING (span_fp)""".stripMargin
+        .replace("__WORDS__", duckWords),
+
+    "q_dedup_span_trim" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, __WORDS__ AS ws FROM documents),
+        |long_docs AS (SELECT * FROM d0 WHERE len(ws) >= 8),
+        |spans AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')) AS span_fp
+        |  FROM long_docs, unnest(range(1, len(ws) - 6)) AS t(i)),
+        |dup_fps AS (
+        |  SELECT span_fp FROM spans GROUP BY span_fp
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |flagged AS (
+        |  SELECT s.doc_id, s.pos, s.span_fp FROM spans s JOIN dup_fps USING (span_fp)),
+        |canon AS (
+        |  SELECT span_fp, doc_id AS cd, pos AS cp FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY span_fp ORDER BY doc_id, pos) AS rn
+        |    FROM flagged) WHERE rn = 1),
+        |removes AS (
+        |  SELECT f.doc_id, list(f.pos) AS rposs
+        |  FROM flagged f JOIN canon c USING (span_fp)
+        |  WHERE NOT (f.doc_id = c.cd AND f.pos = c.cp)
+        |  GROUP BY f.doc_id),
+        |kept AS (
+        |  SELECT d.doc_id, d.ws,
+        |    list_filter(d.ws, (w, i) ->
+        |      len(list_filter(coalesce(r.rposs, []::BIGINT[]),
+        |        p -> i - 1 >= p AND i - 1 < p + 8)) = 0) AS kw
+        |  FROM d0 d LEFT JOIN removes r ON d.doc_id = r.doc_id)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kw, ' '), '') AS clean_text,
+        |  CAST(len(ws) - len(kw) AS BIGINT) AS n_removed
+        |FROM kept""".stripMargin
         .replace("__WORDS__", duckWords),
 
     "q_decontaminate" ->

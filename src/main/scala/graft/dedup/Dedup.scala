@@ -689,6 +689,50 @@ object Dedup {
         col("span_fp"), col("n_docs"))
   }
 
+  /** Remove duplicated spans (the published pipelines' "all but one copy"
+    * rule): every word covered by a NON-CANONICAL duplicated-span
+    * occurrence is dropped, where the canonical occurrence of a span is
+    * the globally first one by (doc_id, pos) — so exactly one copy of each
+    * duplicated passage survives, along with all unique text. Cleaned text
+    * is whitespace-normalized (words rejoined with single spaces), which
+    * both engines mirror exactly.
+    *
+    * 100 TB shape: the flag set is computed relationally (same bounded
+    * aggregates as [[substringDupSpans]], plus a per-fp min-struct for the
+    * canonical election — partial+final, no gather); the only per-doc
+    * gather is each document's OWN removal positions — document-sized
+    * state, the same bound as the text column itself.
+    *
+    * @return one row per input doc: (doc_id, clean_text, n_removed).
+    */
+  def trimDupSpans(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val spans = spanOccurrences(df, idCol, textCol, k)
+    val dupFps = spans.select("span_fp", "doc_id").distinct()
+      .groupBy("span_fp").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("span_fp")
+    val flagged = spans.join(dupFps, Seq("span_fp"))
+    val canon = flagged.groupBy("span_fp")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val removePos = flagged.join(canon, Seq("span_fp"))
+      .filter(!(col("doc_id") === col("c.doc_id") && col("pos") === col("c.pos")))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("__rp"))
+      .withColumnRenamed("doc_id", "__rid")
+    df.join(removePos, col(idCol) === col("__rid"), "left")
+      .withColumn("__ws", TextFunctions.words(col(textCol)))
+      .withColumn("__rps", coalesce(col("__rp"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__ws"),
+        (_, i) => !exists(col("__rps"), p => i >= p && i < p + k)))
+      .select(col(idCol).as("doc_id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Benchmark decontamination: flag corpus documents whose k-word spans
     * overlap an eval set's span fingerprints. The eval fingerprint table is
     * BROADCAST (eval sets are orders of magnitude smaller than the corpus),

@@ -207,6 +207,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(("a", 3L, 2L), ("b", 0L, 2L)))
   }
 
+  test("span trim: one copy of a duplicated passage survives, unique text intact") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val df = Seq(
+      ("a", s"intro words here $shared trailing stuff"), // canonical (min doc, pos 3)
+      ("b", s"$shared completely different continuation text"), // trimmed at pos 0
+      ("c", "no overlap at all in this document text here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.trimDupSpans(df, k = 8).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got("a") == (s"intro words here $shared trailing stuff", 0L),
+      "the canonical occurrence must survive untouched")
+    assert(got("b") == ("completely different continuation text", 8L),
+      "the duplicate occurrence's 8 words must be removed")
+    assert(got("c")._2 == 0L)
+  }
+
   test("decontaminate: eval-span overlap counts, clean docs absent") {
     import spark.implicits._
     val leak = "one two three four five six seven eight nine ten"
