@@ -492,9 +492,9 @@ object SparkEntry {
     }),
 
     // substring-level REMOVAL: drop every word covered by a non-canonical
-    // duplicated-span occurrence (one copy of each duplicated passage
-    // survives — the published "all but one copy" trim); the oracle
-    // rebuilds the cleaned text word-for-word
+    // duplicated-span occurrence (disjoint duplicated passages keep one
+    // copy; overlapping spans trim greedily — see Dedup.trimDupSpans); the
+    // oracle rebuilds the cleaned text word-for-word
     "q_dedup_span_trim" -> ((s, dir) => {
       Dedup.trimDupSpans(docs(s, dir), k = 8)
     }),
@@ -906,6 +906,21 @@ object SparkEntry {
 
   private lazy val duckSimHashPairsSql: String = duckSimHashPairsSqlFrom("documents")
 
+  /** Shared 8-word-span CTE prologue (d0 → long_docs → spans), mirroring
+    * `Dedup.spanOccurrences(_, k = 8)`. ONE definition — the flag
+    * (q_dedup_substring), trim (q_dedup_span_trim) and decontamination
+    * (q_decontaminate) oracles must not drift on what a span is (the same
+    * gate-drift class the shared curationGate already guards against).
+    */
+  private lazy val duckSpans8Ctes: String =
+    """d0 AS (SELECT doc_id, __WORDS__ AS ws FROM documents),
+      |long_docs AS (SELECT * FROM d0 WHERE len(ws) >= 8),
+      |spans AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    md5(array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')) AS span_fp
+      |  FROM long_docs, unnest(range(1, len(ws) - 6)) AS t(i))""".stripMargin
+      .replace("__WORDS__", duckWords)
+
   /** Connected-components CTE chain (expects a preceding `sh_pairs` CTE and
     * a WITH RECURSIVE context): min reachable id per node = cluster id.
     * ONE definition — a desync between the two clustering oracles would
@@ -964,28 +979,15 @@ object SparkEntry {
     "q_dedup_simhash" -> duckSimHashPairsSql,
 
     "q_dedup_substring" ->
-      """WITH d0 AS (
-        |  SELECT doc_id, __WORDS__ AS ws FROM documents),
-        |long_docs AS (SELECT * FROM d0 WHERE len(ws) >= 8),
-        |spans AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    md5(array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')) AS span_fp
-        |  FROM long_docs, unnest(range(1, len(ws) - 6)) AS t(i)),
+      s"""WITH $duckSpans8Ctes,
         |dup_fps AS (
         |  SELECT span_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |  FROM spans GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2)
         |SELECT s.doc_id, s.pos, s.span_fp, d.n_docs
-        |FROM spans s JOIN dup_fps d USING (span_fp)""".stripMargin
-        .replace("__WORDS__", duckWords),
+        |FROM spans s JOIN dup_fps d USING (span_fp)""".stripMargin,
 
     "q_dedup_span_trim" ->
-      """WITH d0 AS (
-        |  SELECT doc_id, __WORDS__ AS ws FROM documents),
-        |long_docs AS (SELECT * FROM d0 WHERE len(ws) >= 8),
-        |spans AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    md5(array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')) AS span_fp
-        |  FROM long_docs, unnest(range(1, len(ws) - 6)) AS t(i)),
+      s"""WITH $duckSpans8Ctes,
         |dup_fps AS (
         |  SELECT span_fp FROM spans GROUP BY span_fp
         |  HAVING count(DISTINCT doc_id) >= 2),
@@ -1013,20 +1015,13 @@ object SparkEntry {
         .replace("__WORDS__", duckWords),
 
     "q_decontaminate" ->
-      """WITH d0 AS (
-        |  SELECT doc_id, __WORDS__ AS ws FROM documents),
-        |long_docs AS (SELECT * FROM d0 WHERE len(ws) >= 8),
-        |spans AS (
-        |  SELECT doc_id,
-        |    md5(array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')) AS span_fp
-        |  FROM long_docs, unnest(range(1, len(ws) - 6)) AS t(i)),
+      s"""WITH $duckSpans8Ctes,
         |eval_fps AS (
         |  SELECT DISTINCT span_fp FROM spans WHERE doc_id % 37 = 0)
         |SELECT doc_id, CAST(count(DISTINCT s.span_fp) AS BIGINT) AS n_overlap
         |FROM spans s JOIN eval_fps e USING (span_fp)
         |WHERE doc_id % 37 <> 0
-        |GROUP BY doc_id""".stripMargin
-        .replace("__WORDS__", duckWords),
+        |GROUP BY doc_id""".stripMargin,
 
     // connected components by recursive reachability: r reaches id; the
     // min reachable id per node is its component's minimum — the same

@@ -692,16 +692,23 @@ object Dedup {
   /** Remove duplicated spans (the published pipelines' "all but one copy"
     * rule): every word covered by a NON-CANONICAL duplicated-span
     * occurrence is dropped, where the canonical occurrence of a span is
-    * the globally first one by (doc_id, pos) — so exactly one copy of each
-    * duplicated passage survives, along with all unique text. Cleaned text
-    * is whitespace-normalized (words rejoined with single spaces), which
-    * both engines mirror exactly.
+    * the globally first one by (doc_id, pos). Disjoint duplicated
+    * passages therefore keep exactly one copy; when duplicated spans
+    * OVERLAP, a removal for one span can cut into another span's
+    * canonical copy — the standard greedy behavior of span-level
+    * trimming (per-fp canonical election does not model cross-span
+    * coverage), mirrored exactly by the oracle. Cleaned text is
+    * whitespace-normalized (words rejoined with single spaces); null
+    * text cleans to "".
     *
-    * 100 TB shape: the flag set is computed relationally (same bounded
-    * aggregates as [[substringDupSpans]], plus a per-fp min-struct for the
+    * 100 TB shape: the flag set is computed relationally (the SAME flag
+    * pipeline as [[substringDupSpans]], plus a per-fp min-struct for the
     * canonical election — partial+final, no gather); the only per-doc
-    * gather is each document's OWN removal positions — document-sized
-    * state, the same bound as the text column itself.
+    * gather is each document's OWN removal positions, and the per-doc
+    * rebuild is O(words + removals·k) — covered indices expand k-wide per
+    * removal, and `array_except` (hash-set semantics) selects the kept
+    * indices, so a fully-duplicated long document costs linear work, not
+    * words × removals.
     *
     * @return one row per input doc: (doc_id, clean_text, n_removed).
     */
@@ -711,12 +718,7 @@ object Dedup {
       textCol: String = "text",
       k: Int = 8,
       minDocs: Int = 2): DataFrame = {
-    val spans = spanOccurrences(df, idCol, textCol, k)
-    val dupFps = spans.select("span_fp", "doc_id").distinct()
-      .groupBy("span_fp").agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("span_fp")
-    val flagged = spans.join(dupFps, Seq("span_fp"))
+    val flagged = substringDupSpans(df, idCol, textCol, k, minDocs)
     val canon = flagged.groupBy("span_fp")
       .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
     val removePos = flagged.join(canon, Seq("span_fp"))
@@ -725,12 +727,21 @@ object Dedup {
       .withColumnRenamed("doc_id", "__rid")
     df.join(removePos, col(idCol) === col("__rid"), "left")
       .withColumn("__ws", TextFunctions.words(col(textCol)))
-      .withColumn("__rps", coalesce(col("__rp"), array().cast("array<int>")))
-      .withColumn("__kept", filter(col("__ws"),
-        (_, i) => !exists(col("__rps"), p => i >= p && i < p + k)))
+      .withColumn("__rps", coalesce(col("__rp"), array().cast("array<long>")))
+      .withColumn("__cov", array_distinct(flatten(
+        transform(col("__rps"), p => sequence(p, p + (k - 1))))))
+      // sequence(0, -1) would DESCEND — guard the empty-words case
+      .withColumn("__ki",
+        when(size(col("__ws")) > 0,
+          array_except(
+            sequence(lit(0L), (size(col("__ws")) - 1).cast("long")),
+            col("__cov")))
+          .otherwise(array().cast("array<long>")))
+      .withColumn("__kept",
+        transform(col("__ki"), i => element_at(col("__ws"), (i + 1).cast("int"))))
       .select(col(idCol).as("doc_id"),
-        array_join(col("__kept"), " ").as("clean_text"),
-        (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"))
+        coalesce(array_join(col("__kept"), " "), lit("")).as("clean_text"),
+        (size(col("__ws")) - size(col("__ki"))).cast("long").as("n_removed"))
   }
 
   /** Benchmark decontamination: flag corpus documents whose k-word spans

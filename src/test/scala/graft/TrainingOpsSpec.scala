@@ -218,10 +218,26 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.trimDupSpans(df, k = 8).collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(got("a") == (s"intro words here $shared trailing stuff", 0L),
-      "the canonical occurrence must survive untouched")
+      "the canonical occurrence of a DISJOINT duplicated passage survives untouched")
     assert(got("b") == ("completely different continuation text", 8L),
       "the duplicate occurrence's 8 words must be removed")
     assert(got("c")._2 == 0L)
+    // overlap semantics are GREEDY and documented: per-fp canonical
+    // election does not model cross-span coverage, so a removal for one
+    // span may cut into an overlapping span's canonical copy — pin the
+    // behavior (shared mirror logic in the oracle) rather than leaving it
+    // unstated
+    val x = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val overlap = Seq(
+      ("o1", x), // canonical X
+      ("o2", s"$x y9 y10 y11 y12"), // X at 0; Y = words 4..11 (canonical Y)
+      ("o3", s"x5 x6 x7 x8 y9 y10 y11 y12 unique tail here")) // Y at 0
+      .toDF("doc_id", "text")
+    val og = Dedup.trimDupSpans(overlap, k = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(og("o1") == 0L, "globally-first X copy survives")
+    assert(og("o2") == 8L, "non-canonical X removal cuts into Y's canonical copy")
+    assert(og("o3") == 8L, "o3's Y occurrence is non-canonical and removed")
   }
 
   test("decontaminate: eval-span overlap counts, clean docs absent") {
