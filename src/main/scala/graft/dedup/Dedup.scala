@@ -651,17 +651,27 @@ object Dedup {
   // only (id, pos, fp) rows ever shuffle, and cross-doc repetition is a
   // partial+final aggregate on the fingerprint.
 
+  /** Per-row array of k-word span md5 fingerprints, position-ordered
+    * (docs shorter than k words → empty array). The SINGLE definition of
+    * "what a span is" — every span operator (flag, trim, decontaminate,
+    * the streaming face) derives from it, so they cannot drift.
+    */
+  def spanFps(text: Column, k: Int): Column = {
+    val ws = TextFunctions.words(text)
+    when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => md5(concat_ws(" ", slice(ws, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** One row per k-word span occurrence: (doc_id, pos, span_fp). Docs
     * shorter than k words emit nothing — whole-doc duplication is
     * [[exact]]/[[minHashLshPairs]] territory.
     */
   private def spanOccurrences(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), size(col("ws")) - (k - 1)),
-        i => md5(concat_ws(" ", slice(col("ws"), i, lit(k)))))))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(spanFps(col(textCol), k)))
       .withColumnRenamed("col", "span_fp")
 
   /** Substring-level dedup: every occurrence of a k-word span that appears

@@ -73,6 +73,32 @@ object StreamRouter {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming benchmark decontamination: annotate every document with the
+    * number of DISTINCT eval-set k-word spans it contains (and a
+    * contamination flag) — the streaming analog of
+    * [[graft.dedup.Dedup.decontaminate]]. STATELESS by design: an eval set
+    * is small and static by nature, so its span fingerprints fold into the
+    * plan as a literal set (the streaming counterpart of the batch
+    * broadcast join) and each row's overlap is a per-row array
+    * intersection — no join state, no watermark, legal in any streaming
+    * plan. The eval frame is evaluated ONCE, at stream definition.
+    */
+  def decontaminate(
+      stream: DataFrame,
+      evalDocs: DataFrame,
+      textCol: String = "text",
+      k: Int = 8): DataFrame = {
+    val evalFps = evalDocs
+      .select(explode(graft.dedup.Dedup.spanFps(col(textCol), k)).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    stream
+      .withColumn("n_overlap",
+        size(array_intersect(
+          array_distinct(graft.dedup.Dedup.spanFps(col(textCol), k)),
+          typedLit(evalFps))).cast("long"))
+      .withColumn("is_contaminated", col("n_overlap") > 0)
+  }
+
   /** Fan-out file sink: append mode, one directory per (label_ns, tag),
     * exactly-once through the streaming commit log at `checkpointDir`.
     */

@@ -106,4 +106,32 @@ class StreamRouterSpec extends AnyFunSuite {
     val apacheDir = new java.io.File(s"$dir/data/new_label_ns=@default/new_tag=site.apache")
     assert(apacheDir.isDirectory)
   }
+
+  test("streaming decontamination ≡ batch decontaminate, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val leak = "one two three four five six seven eight nine ten"
+    val evalDocs = Seq(("e1", leak)).toDF("doc_id", "text")
+    val corpus = Seq(
+      ("c1", s"prefix $leak suffix words"), // all 3 eval spans
+      ("c2", "one two three four five six seven eight different tail"), // 1
+      ("c3", "entirely clean document with no overlap whatsoever in it"),
+      ("c4", "short")) // < k words → empty span set
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    val flagged = StreamRouter.decontaminate(stream, evalDocs)
+    mem.addData(corpus: _*)
+    val q = flagged.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("decon_stream")
+      .select("doc_id", "n_overlap").as[(String, Long)].collect().toMap
+    assert(got == Map("c1" -> 3L, "c2" -> 1L, "c3" -> 0L, "c4" -> 0L))
+    // batch equivalence on the contaminated subset (batch emits only
+    // contaminated docs; the stream annotates every row)
+    val batch = graft.dedup.Dedup.decontaminate(
+      corpus.toDF("doc_id", "text"), evalDocs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch == got.filter(_._2 > 0L))
+  }
 }
