@@ -570,6 +570,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // embedding near-dup pairs → CLUSTERS: the same two-phase connected
+    // components as q_dedup_clusters, over the cosine-LSH pair graph —
+    // dedup decisions in embedding space
+    "q_embed_clusters" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Dedup.nearDupClusters(
+        e.select(col("vec_id")),
+        Ann.cosineNearDupPairs(e, thresholdPpm = 300000L,
+          numPlanes = 8, bands = 2, dim = EmbDim),
+        idCol = "vec_id")
+    }),
+
     // chained re-routing: stage 2 consumes stage 1's rewritten tag — the
     // reference's multi-stage pipelines (example2.conf chains rewrite
     // stages; a re-emitted event enters later <match> sections)
@@ -921,19 +933,42 @@ object SparkEntry {
       |  FROM long_docs, unnest(range(1, len(ws) - 6)) AS t(i))""".stripMargin
       .replace("__WORDS__", duckWords)
 
+  /** Embedding cosine near-dup pairs (banded sign-LSH + exact-cosine
+    * verify), value-for-value — shared by q_embed_neardup and, as the
+    * `sh_pairs` source, q_embed_clusters (the clustering oracle must
+    * recompute the exact same pair set).
+    */
+  private lazy val duckEmbedPairsSql: String = {
+    val banded = duckBandedEmb(Ann.planes(8, EmbDim), bands = 2)
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${duckDot("embedding", "embedding", EmbDim)}) AS n FROM embeddings),
+       |banded AS (SELECT * FROM $banded),
+       |live AS (SELECT band_key FROM banded GROUP BY band_key
+       |         HAVING count(*) BETWEEN 2 AND 1000),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a
+       |  JOIN live l ON a.band_key = l.band_key
+       |  JOIN banded b ON a.band_key = b.band_key AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b FROM pairs p
+       |JOIN e x ON p.id_a = x.vec_id
+       |JOIN e y ON p.id_b = y.vec_id
+       |WHERE ${duckSimPpm("x", "y")} >= 300000""".stripMargin
+  }
+
   /** Connected-components CTE chain (expects a preceding `sh_pairs` CTE and
     * a WITH RECURSIVE context): min reachable id per node = cluster id.
     * ONE definition — a desync between the two clustering oracles would
     * surface as a value mismatch in only one of them, far from the cause.
     */
-  private def duckClustersCtes(docsRel: String): String =
+  private def duckClustersCtes(docsRel: String, idCol: String = "doc_id"): String =
     s"""edges AS (SELECT id_a AS s, id_b AS t FROM sh_pairs
        |          UNION SELECT id_b, id_a FROM sh_pairs),
        |reach AS (
-       |  SELECT doc_id AS id, doc_id AS r FROM $docsRel
+       |  SELECT $idCol AS id, $idCol AS r FROM $docsRel
        |  UNION
        |  SELECT e.t AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.s),
-       |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+       |clusters AS (SELECT id AS $idCol, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   /** doc_id → (lang_pred, quality) for gate SURVIVORS — the SQL mirror of
     * `scoredDocs.filter(curationGate)`, shared by both curation oracles.
@@ -1011,8 +1046,7 @@ object SparkEntry {
         |SELECT doc_id,
         |  coalesce(array_to_string(kw, ' '), '') AS clean_text,
         |  CAST(len(ws) - len(kw) AS BIGINT) AS n_removed
-        |FROM kept""".stripMargin
-        .replace("__WORDS__", duckWords),
+        |FROM kept""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $duckSpans8Ctes,
@@ -1043,23 +1077,16 @@ object SparkEntry {
          |) WHERE rank <= 10""".stripMargin
     },
 
-    "q_embed_neardup" -> {
-      val banded = duckBandedEmb(Ann.planes(8, EmbDim), bands = 2)
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    sqrt(${duckDot("embedding", "embedding", EmbDim)}) AS n FROM embeddings),
-         |banded AS (SELECT * FROM $banded),
-         |live AS (SELECT band_key FROM banded GROUP BY band_key
-         |         HAVING count(*) BETWEEN 2 AND 1000),
-         |pairs AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM banded a
-         |  JOIN live l ON a.band_key = l.band_key
-         |  JOIN banded b ON a.band_key = b.band_key AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b FROM pairs p
-         |JOIN e x ON p.id_a = x.vec_id
-         |JOIN e y ON p.id_b = y.vec_id
-         |WHERE ${duckSimPpm("x", "y")} >= 300000""".stripMargin
-    },
+    "q_embed_neardup" -> duckEmbedPairsSql,
+
+    // embedding near-dup pairs → connected components: the same
+    // pairs→clusters→keeper composition as q_dedup_clusters, driven by the
+    // cosine-LSH miner — the oracle recomputes the identical pair set and
+    // resolves components with the shared recursive-reachability CTEs
+    "q_embed_clusters" ->
+      s"""WITH RECURSIVE sh_pairs AS ($duckEmbedPairsSql),
+         |${duckClustersCtes("embeddings", "vec_id")}
+         |SELECT vec_id, cluster_id FROM clusters""".stripMargin,
 
     "q_embed_ann_ivf" -> {
       val nc = 32
