@@ -2,9 +2,10 @@ package graft
 
 import graft.ann.Ann
 import graft.dedup.Dedup
+import graft.logops.LogOps
 import graft.multimodal.Multimodal
 import graft.parse.Grok
-import graft.textops.TextFunctions
+import graft.textops.{CorpusStats, Sampling, TextFunctions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -707,7 +708,40 @@ object SparkEntry {
             .otherwise(col("n_bytes") * 40L))
         .select(col("doc_id").cast("long").as("doc_id"), col("n_bytes"),
           col("media_kind"), col("duration_ms"))
-    }))
+    }),
+
+    // gap-based sessionization — the canonical routed-log consumer (one
+    // shuffle on user_id; running-frame windows + superset-keyed aggregate,
+    // PlanShapeSpec asserts the single exchange)
+    "q_sessionize" -> ((s, dir) => LogOps.sessionize(events(s, dir), gapSeconds = 1800)),
+
+    // per-minute rate counts + integer cross-multiplied trailing-window
+    // spike flag (the numeric-monitor alerting shape; no float mean)
+    // 1.5× the trailing mean: the test events are near-uniform (~1/minute),
+    // so a higher factor would leave the flag vacuously false at every SF
+    "q_rate_spikes" -> ((s, dir) => LogOps.rateSpikes(events(s, dir), trailingN = 5, num = 3, den = 2)),
+
+    // exact discrete quantiles via the two-level histogram plan — the
+    // only exact-quantile shape that survives 100 TB (no per-key buffering)
+    "q_event_quantiles" -> ((s, dir) =>
+      LogOps.exactQuantiles(
+        events(s, dir).withColumn("value_c", round(col("value") * 100).cast("long")),
+        "event_type", "value_c",
+        Seq(("p50_c", 1, 2), ("p90_c", 9, 10), ("p99_c", 99, 100)))),
+
+    // deterministic per-stratum quota sample: k smallest md5 per language,
+    // elected by the bounded KMinStringsAgg (state ≤ k per group)
+    "q_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(docs(s, dir), "lang", "doc_id", k = 7, salt = "strat")
+        .select(col("lang"), col("rk"), col("sample_key").cast("long").as("doc_id"))),
+
+    // Gopher-style repetition signals: dup-unigram / dup-bigram /
+    // top-bigram ppm ratios per document (explode + two partial+final aggs)
+    "q_rep_signals" -> ((s, dir) => CorpusStats.repetitionSignals(docs(s, dir))),
+
+    // per-doc salient terms: tf DESC, df ASC, term ASC — the tf-idf order
+    // without the float logarithm; window only over per-doc vocabulary
+    "q_salient_terms" -> ((s, dir) => CorpusStats.salientTerms(docs(s, dir), k = 3)))
 
   // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------
 
@@ -1577,5 +1611,116 @@ object SparkEntry {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
         |  CASE WHEN doc_id % 3 = 0 THEN 0
         |       ELSE CAST(octet_length(encode(text)) AS BIGINT) * 40 END AS duration_ms
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS dur_us,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM (
+        |  SELECT user_id, event_id, value, ts_us,
+        |    CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |           THEN 1 ELSE 0 END AS is_break
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |  )
+        |) GROUP BY 1, 2""".stripMargin,
+
+    "q_rate_spikes" ->
+      """SELECT event_type, minute, cnt, trail_sum, trail_n,
+        |  CAST(trail_n = 5 AND cnt * trail_n * 2 > trail_sum * 3 AS BIGINT) AS spike
+        |FROM (
+        |  SELECT event_type, minute, cnt,
+        |    coalesce(CAST(sum(cnt) OVER w AS BIGINT), 0) AS trail_sum,
+        |    CAST(count(cnt) OVER w AS BIGINT) AS trail_n
+        |  FROM (
+        |    SELECT event_type,
+        |      strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+        |      count(*) AS cnt
+        |    FROM events GROUP BY 1, 2
+        |  )
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY minute
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+        |)""".stripMargin,
+
+    "q_event_quantiles" ->
+      """SELECT event_type, max(n) AS n,
+        |  min(CASE WHEN cum >= ((n - 1) * 1) // 2 + 1 THEN v END) AS p50_c,
+        |  min(CASE WHEN cum >= ((n - 1) * 9) // 10 + 1 THEN v END) AS p90_c,
+        |  min(CASE WHEN cum >= ((n - 1) * 99) // 100 + 1 THEN v END) AS p99_c
+        |FROM (
+        |  SELECT event_type, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |      count(*) AS c
+        |    FROM events GROUP BY 1, 2
+        |  )
+        |) GROUP BY 1""".stripMargin,
+
+    "q_quota_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents
+        |) WHERE rk <= 7""".stripMargin,
+
+    "q_rep_signals" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE trim(text) <> ''
+        |), toks AS (
+        |  SELECT doc_id, 1 AS kind, unnest(ws) AS tok FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS kind,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS tok
+        |  FROM w
+        |), cnt AS (
+        |  SELECT doc_id, kind, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2, 3
+        |), st AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN kind = 1 THEN c END), 0) AS BIGINT) AS n1,
+        |    CAST(count(CASE WHEN kind = 1 THEN c END) AS BIGINT) AS d1,
+        |    CAST(coalesce(max(CASE WHEN kind = 1 THEN c END), 0) AS BIGINT) AS top1,
+        |    CAST(coalesce(sum(CASE WHEN kind = 2 THEN c END), 0) AS BIGINT) AS n2,
+        |    CAST(count(CASE WHEN kind = 2 THEN c END) AS BIGINT) AS d2,
+        |    CAST(coalesce(max(CASE WHEN kind = 2 THEN c END), 0) AS BIGINT) AS top2
+        |  FROM cnt GROUP BY 1
+        |)
+        |SELECT doc_id, n1, d1, top1, n2, d2, top2,
+        |  CASE WHEN n1 = 0 THEN 0
+        |       ELSE CAST(floor((n1 - d1) * 1000000.0 / n1) AS BIGINT) END AS dup1_ppm,
+        |  CASE WHEN n2 = 0 THEN 0
+        |       ELSE CAST(floor((n2 - d2) * 1000000.0 / n2) AS BIGINT) END AS dup2_ppm,
+        |  CASE WHEN n2 = 0 THEN 0
+        |       ELSE CAST(floor(top2 * 1000000.0 / n2) AS BIGINT) END AS top2_ppm
+        |FROM st""".stripMargin,
+
+    "q_salient_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents WHERE trim(text) <> ''
+        |  ) GROUP BY 1, 2
+        |), fr AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |)
+        |SELECT doc_id, rk, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, fr.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, fr.df ASC, tf.term ASC) AS BIGINT) AS rk
+        |  FROM tf JOIN fr USING (term)
+        |) WHERE rk <= 3""".stripMargin)
 }

@@ -1,0 +1,158 @@
+package graft.logops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Log/telemetry analytics over routed event streams — the downstream
+  * consumers a Fluentd-style router feeds (reference ecosystem: the
+  * datacounter/numeric-monitor output family sitting behind
+  * rewrite_tag_filter; cf. reference README usage chains,
+  * /root/reference/README.md). Everything here follows the repo-wide
+  * oracle rules: integer or scaled-integer outputs only (no float
+  * hashing), built-in codegen'd expressions only (no UDFs).
+  *
+  * Scale design notes are per-operator; the common theme is that windows
+  * only ever run over either (a) per-entity partitions with running
+  * O(1) frames, or (b) already-aggregated series/histograms that are
+  * orders of magnitude smaller than the input.
+  */
+object LogOps {
+
+  /** Gap-based sessionization: a session is a maximal run of one user's
+    * events where consecutive gaps are ≤ `gapSeconds`. The classic
+    * log-pipeline operator (publicly described everywhere from web-analytics
+    * literature to the Spark docs' sessionization examples).
+    *
+    * Shape at scale: ONE shuffle on `user`. The lag/running-sum window has
+    * an O(1) frame (no buffering of the partition), and the per-session
+    * aggregate's grouping keys (user, session_idx) are a SUPERSET of the
+    * window's partition key, so `HashPartitioning(user)` already satisfies
+    * the aggregate's ClusteredDistribution — Catalyst plans no second
+    * exchange (asserted in PlanShapeSpec). Per-user state is one partition's
+    * worth of rows streamed in sort order, never materialized.
+    *
+    * Timestamps are compared in epoch MICROSECONDS (exact integers in both
+    * engines: `unix_micros` here, `epoch_us` in DuckDB) — seconds-level
+    * truncation would merge events straddling a second boundary.
+    *
+    * Output per session: user, session_idx (1-based within user, in time
+    * order), n_events, start_us, end_us, dur_us, value_c (cents, summed
+    * AFTER per-row rounding: float addition is order-sensitive).
+    */
+  def sessionize(
+      events: DataFrame,
+      gapSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    require(gapSeconds > 0, s"session gap must be positive, got $gapSeconds")
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    // two sequential Window nodes over the SAME partitioning+ordering (a
+    // window function can't nest inside another's argument): one sort, no
+    // second exchange
+    events
+      // NTZ → TIMESTAMP under the session's fixed UTC zone: the same
+      // wall-clock-as-UTC reading DuckDB's epoch_us gives a naive timestamp
+      .withColumn("ts_us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
+      .withColumn("is_break",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_break")).over(running))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"),
+        sum(round(col(valueCol) * 100).cast("long")).as("value_c"))
+  }
+
+  /** Per-(entity, minute) rate counts with a trailing-window spike flag:
+    * a minute is a spike when its count exceeds `num/den` × the mean of the
+    * previous `trailingN` OBSERVED minutes (rows-frame over the per-minute
+    * series — both engines agree on row frames; absent minutes contribute
+    * nothing, which is the behavior a sparse telemetry series wants).
+    * The comparison is integer cross-multiplied (`cnt * trail_n * den >
+    * trail_sum * num`) so no float ever exists — the mean is never
+    * materialized.
+    *
+    * Shape at scale: the per-minute count is a partial+final aggregate over
+    * the raw stream (map-side combine absorbs per-minute hot keys); the
+    * trailing window then runs over the AGGREGATED series — cardinality
+    * (entities × minutes), unrelated to raw event volume.
+    */
+  def rateSpikes(
+      events: DataFrame,
+      trailingN: Int = 5,
+      num: Int = 3,
+      den: Int = 1,
+      entityCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(trailingN > 0 && num > 0 && den > 0, "rateSpikes parameters must be positive")
+    val perMinute = events
+      .groupBy(
+        col(entityCol),
+        date_format(date_trunc("minute", col(tsCol)), "yyyy-MM-dd HH:mm").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+    // fixed-format minute strings sort chronologically; the frame counts
+    // observed rows, so leading minutes see a shorter history (flag gated
+    // on a FULL window to avoid cold-start false positives)
+    val trail = Window.partitionBy(col(entityCol)).orderBy(col("minute"))
+      .rowsBetween(-trailingN, -1)
+    perMinute
+      .withColumn("trail_sum", coalesce(sum(col("cnt")).over(trail), lit(0L)))
+      .withColumn("trail_n", count(col("cnt")).over(trail))
+      .withColumn("spike",
+        (col("trail_n") === trailingN &&
+          col("cnt") * col("trail_n") * den > col("trail_sum") * num).cast("long"))
+  }
+
+  /** Exact discrete quantiles via the two-level histogram shape — the only
+    * exact-quantile plan that survives 100 TB. A naive
+    * `percentile()`/window-over-raw-rows plan buffers every value of a key
+    * in one task; this one:
+    *   1. partial+final count per (key, value) — raw volume collapses to
+    *      the value histogram, map-side combine absorbs hot values;
+    *   2. running-count window over the HISTOGRAM (cardinality = distinct
+    *      values per key, not rows — telemetry value domains are small);
+    *   3. quantile k picks the first histogram bin whose cumulative count
+    *      reaches floor((n-1) * num/den) + 1 — pure integer arithmetic,
+    *      identical in any engine (the lower discrete quantile; no
+    *      interpolation, so no float divergence by construction).
+    *
+    * `quantiles` are (name, num, den) with 0 ≤ num/den ≤ 1. The value
+    * column must already be integral (round to cents upstream).
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (n, a, b) =>
+      require(b > 0 && a >= 0 && a <= b, s"quantile $n: need 0 <= $a/$b <= 1")
+    }
+    val hist = df.groupBy(col(keyCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byKey = Window.partitionBy(col(keyCol))
+    val cum = byKey.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n (total count) rides the same partitioning as the cumulative window —
+    // no extra shuffle, no scalar subquery
+    val withCum = hist
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(byKey))
+    val qCols = quantiles.map { case (name, num, den) =>
+      // (n-1)*num is far below 2^53, so double division + floor is exact
+      // and equals DuckDB's integer `//`
+      val target = floor((col("n") - 1) * num.toLong / den.toLong) + 1 // 0-based idx, then 1-based
+      min(when(col("cum") >= target, col("v"))).as(name)
+    }
+    val aggs = max(col("n")).as("n") +: qCols
+    withCum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

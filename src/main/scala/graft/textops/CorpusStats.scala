@@ -1,0 +1,100 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics for training-data curation: repetition
+  * signals (the publicly-described Gopher-rule family — "Scaling Language
+  * Models" appendix's repetitious-text filters) and per-document salient
+  * terms (tf-idf-style keyword extraction).
+  *
+  * Same contract as the rest of textops: integer/ppm outputs only, no
+  * UDFs, every column reproducible bit-exactly by the DuckDB oracle.
+  */
+object CorpusStats {
+
+  /** Per-document repetition signals over word unigrams and bigrams:
+    *
+    *  - `dup1_ppm` — fraction of word occurrences that are repeats of an
+    *    earlier word, floor-ppm ((n1 - distinct1) / n1);
+    *  - `dup2_ppm` — same over adjacent-word bigrams (the strongest
+    *    boilerplate/spam signal of the family);
+    *  - `top2_ppm` — fraction of bigram occurrences taken by the single
+    *    most frequent bigram (loops like "click here click here" light
+    *    this up even when overall diversity looks fine).
+    *
+    * Documents with no words carry no repetition signal and are excluded
+    * (a curation gate drops empty docs before this runs anyway); a
+    * one-word document has n2 = 0 and zero bigram ratios by the ppm(_, 0)
+    * = 0 convention.
+    *
+    * Shape at scale: one explode of (word ∪ bigram) tokens tagged by kind,
+    * then two partial+final aggregates — (doc, kind, token) then (doc).
+    * Hot tokens combine map-side; nothing is ever gathered into an
+    * unbounded buffer, and no window touches the exploded stream. Token
+    * volume is ~2× word count, the same order as any tokenizing scan.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val ws = TextFunctions.words(col("text"))
+    // guard (size < 2) BEFORE sequence(): Spark's sequence(1, 0) counts
+    // DOWN, it does not produce an empty array
+    val bigrams = when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", slice(ws, i, lit(2)))))
+    val tagged = docs
+      .where(length(trim(col("text"))) > 0)
+      .select(col(idCol),
+        explode(concat(
+          transform(ws, w => struct(lit(1).as("kind"), w.as("tok"))),
+          transform(bigrams, b => struct(lit(2).as("kind"), b.as("tok"))))).as("t"))
+      .select(col(idCol), col("t.kind").as("kind"), col("t.tok").as("tok"))
+    val counted = tagged.groupBy(col(idCol), col("kind"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    def forKind(k: Int, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      coalesce(f(when(col("kind") === k, col("c"))), lit(0L))
+    counted.groupBy(col(idCol))
+      .agg(
+        forKind(1, sum).as("n1"),
+        forKind(1, c => count(c)).as("d1"),
+        forKind(1, max).as("top1"),
+        forKind(2, sum).as("n2"),
+        forKind(2, c => count(c)).as("d2"),
+        forKind(2, max).as("top2"))
+      .select(col(idCol), col("n1"), col("d1"), col("top1"),
+        col("n2"), col("d2"), col("top2"),
+        TextFunctions.ppm(col("n1") - col("d1"), col("n1")).cast("long").as("dup1_ppm"),
+        TextFunctions.ppm(col("n2") - col("d2"), col("n2")).cast("long").as("dup2_ppm"),
+        TextFunctions.ppm(col("top2"), col("n2")).cast("long").as("top2_ppm"))
+  }
+
+  /** Top-`k` salient terms per document, ranked by (tf DESC, df ASC, term
+    * ASC): the document's own frequent terms, breaking ties toward the
+    * corpus-rarest — the tf-idf ORDER without tf-idf's float logarithm.
+    * (tf·ln(N/df) ranks identically for fixed tf and monotone df; making
+    * the full product integer-exact is impossible, so the lexicographic
+    * rank is the honest cross-engine-stable choice and is pinned by the
+    * oracle.)
+    *
+    * Shape at scale: tf is a (doc, term) partial+final aggregate; df
+    * aggregates tf's already-distinct (doc, term) pairs by term (vocab
+    * cardinality, map-side combined); the df join is vocab-sized (AQE
+    * broadcasts it when it fits). The ranking window partitions by doc_id
+    * over the document's DISTINCT terms — bounded by per-doc vocabulary,
+    * never by corpus size.
+    */
+  def salientTerms(docs: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"salientTerms k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.words(col("text"))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val rank = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"))
+  }
+}

@@ -52,4 +52,40 @@ object Sampling {
       splits: Seq[(String, Double)],
       salt: String = "graft"): DataFrame =
     df.withColumn("split", splitLabel(col(keyCol), splits, salt))
+
+  /** Deterministic per-group quota sample: the `k` rows of each group with
+    * the smallest md5(salt ":" key) — a uniform-without-replacement sample
+    * per stratum (language, source, ...) that is reproducible across runs,
+    * engines, and task retries, like [[hashSplit]] but with an exact
+    * per-group COUNT instead of a fraction (stratified splits need quotas;
+    * a fraction over a skewed stratum over/under-shoots).
+    *
+    * Shape at scale: the winners are elected by the bounded
+    * [[graft.expressions.KMinStringsAgg]] — partial+final aggregate whose
+    * state is ≤ k strings per group on every side of the shuffle. No
+    * window ranks the corpus, no group's rows are ever gathered. The rank
+    * is recovered from the sorted winner array's position (the aggregate
+    * returns its TreeSet ascending).
+    *
+    * The md5 hex prefix (32 fixed chars) makes "hash:key" order ≡
+    * (hash, key-string) order, so the DuckDB oracle is a plain
+    * `row_number() OVER (ORDER BY md5(...), key)`.
+    */
+  def quotaSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k > 0, s"quotaSample k must be positive, got $k")
+    val keyStr = col(keyCol).cast("string")
+    val tagged = concat(md5(concat(lit(salt), lit(":"), keyStr)), lit(":"), keyStr)
+    df.groupBy(col(groupCol))
+      .agg(graft.expressions.KMinStringsAgg(tagged, k).as("winners"))
+      .select(col(groupCol), posexplode(col("winners")).as(Seq("pos", "w")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rk"),
+        // the md5 prefix is exactly 32 hex chars + ":", so the key starts
+        // at char 34 — position-based, safe for keys containing ":"
+        substring(col("w"), 34, Int.MaxValue).as("sample_key"))
+  }
 }

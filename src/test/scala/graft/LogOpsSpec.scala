@@ -1,0 +1,169 @@
+package graft
+
+import graft.logops.LogOps
+import graft.textops.{CorpusStats, Sampling}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden + differential semantics for the log-analytics and corpus-stats
+  * operators (the DuckDB oracles pin them cross-engine; these pin them
+  * at the unit level with hand-checkable inputs).
+  */
+class LogOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, Long, Double)]): DataFrame =
+    rows.toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s")).cast("timestamp_ntz"))
+      .withColumn("event_type", lit("t"))
+      .drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      // ts_s arrives as a long column; rebuild the tuple type explicitly
+      .withColumn("user_id", col("user_id").cast("long"))
+
+  test("sessionize: gap breaks, per-user independence, exact aggregates") {
+    // user 1: events at t=0, 10, 2000 (gap>1800 between 10 and 2000 splits)
+    // user 2: single event
+    val events = ev(Seq(
+      (1L, 1L, 0L, 1.25), (2L, 1L, 10L, 2.50), (3L, 1L, 2000L, 4.00),
+      (4L, 2L, 5L, 0.10)))
+    val out = LogOps.sessionize(events, gapSeconds = 1800)
+      .orderBy("user_id", "session_idx")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6))).toSeq ===
+      Seq(
+        (1L, 1L, 2L, 10000000L, 375L), // 2 events, 10 s span, 1.25+2.50 = 3.75
+        (1L, 2L, 1L, 0L, 400L),
+        (2L, 1L, 1L, 0L, 10L)))
+    // start/end micros are exact epoch micros
+    val s1 = out.head
+    assert(s1.getLong(3) === 0L && s1.getLong(4) === 10000000L)
+  }
+
+  test("sessionize: boundary gap exactly == gapSeconds does NOT break") {
+    val events = ev(Seq((1L, 1L, 0L, 0.0), (2L, 1L, 1800L, 0.0)))
+    val out = LogOps.sessionize(events, gapSeconds = 1800).collect()
+    assert(out.length === 1 && out.head.getLong(2) === 2L)
+  }
+
+  test("sessionize: microsecond-resolution gap comparison (no second truncation)") {
+    // 1800.000001 s gap — breaks; a seconds-truncating implementation
+    // would see exactly 1800 and keep one session
+    val events = Seq((1L, 1L, 0.0, 0.0), (2L, 1L, 1800.000001, 0.0))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s")).cast("timestamp_ntz"))
+      .withColumn("event_type", lit("t")).drop("ts_s")
+    assert(LogOps.sessionize(events, gapSeconds = 1800).count() === 2L)
+  }
+
+  test("rateSpikes: trailing frame, cold-start gating, cross-multiplied flag") {
+    // one entity, minutes 0..6 with counts 1,1,1,1,1,3,1 — minute 5 (count
+    // 3) has a full 5-minute trailing sum of 5, 3*5*2 > 5*3 → spike;
+    // minute 6 trail_sum=7, 1*5*2 < 21 → no spike; minutes 0..4 have
+    // trail_n < 5 → gated off regardless of ratio
+    val rows = (0 to 6).flatMap { m =>
+      val c = if (m == 5) 3 else 1
+      (0 until c).map(i => (m.toLong * 100 + i, 1L, m * 60L, 0.0))
+    }
+    val out = LogOps.rateSpikes(ev(rows), trailingN = 5, num = 3, den = 2)
+      .orderBy("minute").collect()
+    assert(out.length === 7)
+    val spikes = out.map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(spikes.count(_._5 == 1L) === 1)
+    val m5 = spikes(5)
+    assert(m5._2 === 3L && m5._3 === 5L && m5._4 === 5L && m5._5 === 1L)
+    assert(spikes.take(5).forall(_._5 == 0L), "cold-start minutes must be gated")
+  }
+
+  test("exactQuantiles: equals the sorted-pick definition on random data") {
+    val rnd = new scala.util.Random(42)
+    val data = (1 to 4).flatMap { k =>
+      val n = 50 + k * 37
+      (0 until n).map(_ => (s"k$k", (rnd.nextInt(400) - 100).toLong))
+    }
+    val df = data.toDF("key", "v")
+    val out = LogOps.exactQuantiles(df, "key", "v",
+      Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    data.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      def pick(num: Int, den: Int) = sorted(((n - 1).toLong * num / den).toInt)
+      val r = out(k)
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === pick(1, 2), s"$k p50")
+      assert(r.getLong(3) === pick(9, 10), s"$k p90")
+      assert(r.getLong(4) === pick(99, 100), s"$k p99")
+    }
+  }
+
+  test("exactQuantiles: single-value and single-row groups") {
+    val df = Seq(("a", 7L), ("a", 7L), ("b", 3L)).toDF("key", "v")
+    val out = LogOps.exactQuantiles(df, "key", "v", Seq(("p50", 1, 2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(("a", 2L, 7L), ("b", 1L, 3L)))
+  }
+
+  test("quotaSample: equals the window-rank reference, stable under repartition") {
+    val docs = (1L to 200L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "grp")
+    val expected = docs
+      .withColumn("h", md5(concat(lit("s:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("grp"), col("rk"), col("doc_id").cast("string").as("sample_key"))
+    val got = Sampling.quotaSample(docs.repartition(7), "grp", "doc_id", k = 5, salt = "s")
+    assert(got.count() === 15)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("quotaSample: group smaller than k returns the whole group, ranked") {
+    val docs = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "grp")
+    val out = Sampling.quotaSample(docs, "grp", "doc_id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 2 && out.map(_._2).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("repetitionSignals: hand-checked ratios, one-word and empty docs") {
+    val docs = Seq(
+      (1L, "a a a a"),        // n1=4 d1=1 top1=4; bigrams "a a"×3
+      (2L, "x y z"),          // all distinct; bigrams "x y","y z"
+      (3L, "solo"),           // one word → no bigrams
+      (4L, "   ")             // whitespace-only → excluded
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.repetitionSignals(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L))
+    val d1 = out(1L)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) === ((4L, 1L, 4L)))
+    assert((d1.getLong(4), d1.getLong(5), d1.getLong(6)) === ((3L, 1L, 3L)))
+    assert(d1.getLong(7) === 750000L) // (4-1)/4
+    assert(d1.getLong(8) === 666666L) // floor(2/3 ppm)
+    assert(d1.getLong(9) === 1000000L)
+    val d2 = out(2L)
+    assert((d2.getLong(1), d2.getLong(2), d2.getLong(3)) === ((3L, 3L, 1L)))
+    assert((d2.getLong(7), d2.getLong(8), d2.getLong(9)) === ((0L, 0L, 500000L)))
+    val d3 = out(3L)
+    assert((d3.getLong(4), d3.getLong(5), d3.getLong(6)) === ((0L, 0L, 0L)))
+    assert((d3.getLong(8), d3.getLong(9)) === ((0L, 0L)))
+  }
+
+  test("salientTerms: tf desc, df asc, term asc; k cap") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    // df: apple 1, banana 2, cherry 3, date 1
+    val out = CorpusStats.salientTerms(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, 1L)) === (("apple", 2L, 1L)))   // tf 2 wins
+    assert(out((1L, 2L)) === (("banana", 1L, 2L)))  // tf tie → rarer df wins over cherry
+    assert(out((2L, 1L)) === (("banana", 2L, 2L)))
+    assert(out((3L, 1L)) === (("date", 1L, 1L)))    // df tiebreak: date (1) < cherry (3)
+    assert(out((3L, 2L)) === (("cherry", 1L, 3L)))
+    assert(out.size === 6)
+  }
+}

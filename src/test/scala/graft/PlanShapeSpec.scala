@@ -203,4 +203,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
       "corpus⋈eval must be a broadcast hash join, never a shuffle join")
   }
+
+  test("sessionize runs on ONE shuffle: windows + session agg share the user partitioning") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    import spark.implicits._
+    val events = (1L to 500L).map(i => (i, i % 17, i * 90, 1.0))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+    val out = graft.logops.LogOps.sessionize(events, gapSeconds = 300)
+    val shuffles = executedNodes(out).collect { case s: ShuffleExchangeLike => s }
+    // hash(user_id) satisfies the (user_id, session_idx) aggregate's
+    // clustered distribution — a second exchange is a plan regression
+    assert(shuffles.length == 1,
+      s"expected exactly 1 shuffle:\n${out.queryExecution.executedPlan}")
+  }
+
+  test("exactQuantiles windows only the histogram: raw rows feed a partial+final agg first") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (s"k${i % 3}", i % 40)).toDF("key", "v")
+    val out = graft.logops.LogOps.exactQuantiles(df, "key", "v",
+      Seq(("p50", 1, 2), ("p99", 99, 100)))
+    val nodes = executedNodes(out)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // the histogram collapse must happen BELOW the windows: a partial+final
+    // (key, v) count aggregate exists, and both window partition specs are
+    // the bare key (they run over the aggregated histogram partitioning)
+    assert(nodes.count(n => n.nodeName.contains("HashAggregate") &&
+      n.toString.contains("count(1)")) >= 1 &&
+      nodes.exists(_.toString.contains("partial_count")),
+      s"raw rows must collapse via partial+final count first:\n${out.queryExecution.executedPlan}")
+    assert(windows.forall(_.partitionSpec.length == 1))
+    // exactly 2 shuffles, both of histogram-sized data: (key,v) for the
+    // count, (key) for the cumulative window + final pick
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.length == 2,
+      s"expected 2 histogram-sized shuffles:\n${out.queryExecution.executedPlan}")
+  }
+
+  test("quotaSample elects winners via the bounded kmin aggregate: no window, no collect") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    val docs = (1L to 1000L).map(i => (i, s"g${i % 5}")).toDF("doc_id", "grp")
+    val out = graft.textops.Sampling.quotaSample(docs, "grp", "doc_id", k = 4)
+    val nodes = executedNodes(out)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "quota sampling must not rank the corpus with a window")
+    val aggs = nodes.filter(_.nodeName.contains("Aggregate"))
+    assert(aggs.count(_.toString.contains("kmin_strings")) >= 2,
+      s"expected partial+final kmin_strings aggregate:\n${out.queryExecution.executedPlan}")
+    assert(!nodes.exists(_.toString.contains("collect_list")),
+      "no unbounded gather in the sampling plan")
+  }
 }
