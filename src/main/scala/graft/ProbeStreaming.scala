@@ -42,6 +42,26 @@ object ProbeStreaming {
       .map(r => s"${r.getString(0)}/${r.getString(1)}").sorted
     println(s"STREAM_PROBE rows_first=$afterFirst rows_second=$afterSecond " +
       s"sinks=${sinks.mkString(",")} dir=$work")
+
+    // stateful surface: event-time sessionization over a file-source event
+    // stream — closed-session aggregates must match the batch operator on
+    // the same files (open tails excluded)
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.ParquetIO
+      .read(spark, "/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(s"$work/ev_in")
+    val evStream = spark.readStream.schema(events.schema).parquet(s"$work/ev_in")
+    val sessQ = StreamRouter.sessionize(evStream, gapSeconds = 1800, delay = "10 seconds")
+      .writeStream.format("memory").queryName("probe_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    sessQ.processAllAvailable(); sessQ.stop()
+    val streamed = spark.table("probe_sessions")
+      .select("user_id", "start_us", "end_us", "n_events", "value_c")
+    val batch = graft.logops.LogOps.sessionize(events, gapSeconds = 1800)
+      .select("user_id", "start_us", "end_us", "n_events", "value_c")
+    val onlyInStream = streamed.exceptAll(batch).count()
+    println(s"SESSION_PROBE closed=${streamed.count()} batch=${batch.count()} " +
+      s"stream_minus_batch=$onlyInStream")
     spark.stop()
   }
 }

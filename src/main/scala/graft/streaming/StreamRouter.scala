@@ -99,6 +99,100 @@ object StreamRouter {
       .withColumn("is_contaminated", col("n_overlap") > 0)
   }
 
+  /** One in-flight event for the streaming sessionizer. `ts` carries the
+    * WATERMARKED attribute into the stateful operator (Spark requires the
+    * event-time column to survive to the flatMapGroupsWithState input);
+    * the gap logic itself uses the exact integer `ts_us`.
+    */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, v_c: Long)
+
+  /** Per-user open-session state (exists ONLY while a session is open). */
+  case class SessState(startUs: Long, lastUs: Long, nEvents: Long, valueC: Long)
+
+  /** A closed session — same aggregates as the batch
+    * [[graft.logops.LogOps.sessionize]] output, identified by
+    * (user_id, start_us) instead of the batch per-user ordinal (a streaming
+    * job cannot carry an all-time counter without unbounded per-user state;
+    * keying sessions by their start is the standard structured-streaming
+    * sessionization contract).
+    */
+  case class Session(
+      user_id: Long, start_us: Long, end_us: Long, dur_us: Long,
+      n_events: Long, value_c: Long)
+
+  /** Streaming gap-based sessionization — the event-time-stateful analog of
+    * [[graft.logops.LogOps.sessionize]], via `flatMapGroupsWithState` with
+    * an EVENT-TIME timeout:
+    *
+    *  - events fold into at most ONE open-session state per user (constant
+    *    size: start, last, count, cents-sum — never the events themselves);
+    *  - a new event with gap > `gapSeconds` closes the current session
+    *    inline and opens the next;
+    *  - the watermark passing (last event + gap) fires the timeout, closing
+    *    idle sessions and REMOVING the state — live state is bounded by
+    *    users active within the gap window, not by all users ever seen;
+    *  - events later than the watermark `delay` are dropped by the
+    *    watermark (their sessions would already have closed); within the
+    *    allowed lateness, each micro-batch is processed in event-time order.
+    *
+    * Emitted aggregates match the batch operator exactly for every closed
+    * session (asserted differentially in StreamRouterSpec).
+    */
+  def sessionize(
+      stream: DataFrame,
+      gapSeconds: Long,
+      delay: String,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): org.apache.spark.sql.Dataset[Session] = {
+    require(gapSeconds > 0, s"session gap must be positive, got $gapSeconds")
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ss = stream.sparkSession
+    import ss.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val typed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        round(col(valueCol) * 100).cast("long").as("v_c"))
+      .withWatermark("ts", delay)
+      .as[SessEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[SessEvent],
+         state: org.apache.spark.sql.streaming.GroupState[SessState]) =>
+          def close(s: SessState): Session =
+            Session(user, s.startUs, s.lastUs, s.lastUs - s.startUs, s.nEvents, s.valueC)
+          if (state.hasTimedOut) {
+            val out = Iterator.single(close(state.get))
+            state.remove()
+            out
+          } else {
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            events.toSeq.sortBy(e => (e.ts_us, e.v_c)).foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.lastUs > gapUs =>
+                  closed += close(s)
+                  cur = Some(SessState(e.ts_us, e.ts_us, 1L, e.v_c))
+                case Some(s) =>
+                  cur = Some(SessState(s.startUs, math.max(s.lastUs, e.ts_us),
+                    s.nEvents + 1, s.valueC + e.v_c))
+                case None =>
+                  cur = Some(SessState(e.ts_us, e.ts_us, 1L, e.v_c))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes last-event + gap (ms)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Fan-out file sink: append mode, one directory per (label_ns, tag),
     * exactly-once through the streaming commit log at `checkpointDir`.
     */

@@ -134,4 +134,51 @@ class StreamRouterSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(batch == got.filter(_._2 > 0L))
   }
+
+  test("streaming sessionization: closed sessions ≡ batch aggregates, timeout closes idle state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF.toDF("user_id", "ts", "value")
+    val sess = StreamRouter.sessionize(stream, gapSeconds = 1800, delay = "10 seconds")
+    val q = sess.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    // (times start at 100 s: the engine's INITIAL watermark is epoch 0 and
+    // an event AT the watermark is late — a t=0 event would be dropped)
+    // batch 1: user 1 opens a session (2 events), user 2 opens one
+    mem.addData((1L, ts(100), 1.25), (1L, ts(110), 2.50), (2L, ts(105), 0.10))
+    q.processAllAvailable()
+    // batch 2: user 1's 2100 s event exceeds the gap → closes [100,110]
+    // INLINE; the 5100 s sentinel advances the watermark past every earlier
+    // (last + gap) timeout — the engine's no-data batch then fires them
+    mem.addData((1L, ts(2100), 4.00), (3L, ts(5100), 0.0))
+    q.processAllAvailable()
+    // batch 3: watermark passes user 3's timeout; user 4 opens
+    mem.addData((4L, ts(10100), 0.0))
+    q.processAllAvailable()
+    // batch 4: watermark passes user 4's timeout; user 5 stays open
+    mem.addData((5L, ts(20100), 0.0))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sess_stream")
+      .select("user_id", "start_us", "end_us", "n_events", "value_c")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 100000000L, 110000000L, 2L, 375L),
+      (1L, 2100000000L, 2100000000L, 1L, 400L),
+      (2L, 105000000L, 105000000L, 1L, 10L),
+      (3L, 5100000000L, 5100000000L, 1L, 0L),
+      (4L, 10100000000L, 10100000000L, 1L, 0L))
+    assert(got === expected, "user 5 remains OPEN and must not be emitted")
+    // every closed session matches the batch operator's aggregates exactly
+    val allEvents = Seq(
+      (1L, 1L, ts(100), 1.25), (2L, 1L, ts(110), 2.50), (3L, 2L, ts(105), 0.10),
+      (4L, 1L, ts(2100), 4.00), (5L, 3L, ts(5100), 0.0),
+      (6L, 4L, ts(10100), 0.0), (7L, 5L, ts(20100), 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val batch = graft.logops.LogOps.sessionize(allEvents, gapSeconds = 1800)
+      .select("user_id", "start_us", "end_us", "n_events", "value_c")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.subsetOf(batch))
+  }
 }
