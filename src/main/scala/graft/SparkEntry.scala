@@ -741,7 +741,24 @@ object SparkEntry {
 
     // per-doc salient terms: tf DESC, df ASC, term ASC — the tf-idf order
     // without the float logarithm; window only over per-doc vocabulary
-    "q_salient_terms" -> ((s, dir) => CorpusStats.salientTerms(docs(s, dir), k = 3)))
+    "q_salient_terms" -> ((s, dir) => CorpusStats.salientTerms(docs(s, dir), k = 3)),
+
+    // as-of join (Spark has none natively): each click enriched with the
+    // user's most recent prior-or-simultaneous purchase — union + running
+    // last(ignoreNulls) carry, one shuffle; DuckDB's native ASOF JOIN is
+    // the oracle
+    "q_asof_enrich" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts_us"),
+          round(col("value") * 100).cast("long").as("v_c"))
+        .groupBy(col("user_id"), col("p_ts_us"))
+        .agg(max(col("v_c")).as("p_value_c")) // unique per (user, ts): as-of contract
+      LogOps.asofJoin(clicks, purchases, "user_id", "ts_us", "p_ts_us", Seq("p_value_c"))
+    }))
 
   // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------
 
@@ -1722,5 +1739,20 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
         |      ORDER BY tf.tf DESC, fr.df ASC, tf.term ASC) AS BIGINT) AS rk
         |  FROM tf JOIN fr USING (term)
-        |) WHERE rk <= 3""".stripMargin)
+        |) WHERE rk <= 3""".stripMargin,
+
+    "q_asof_enrich" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events
+        |), clicks AS (
+        |  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, ts_us AS p_ts_us,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS p_value_c
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT c.event_id, c.user_id, c.ts_us, p.p_value_c
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us""".stripMargin)
 }

@@ -155,4 +155,58 @@ object LogOps {
     val aggs = max(col("n")).as("n") +: qCols
     withCum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** As-of (most-recent-version) join: each left row picks the right row
+    * with the LARGEST `rightTs` ≤ its own `ts`, per key — the canonical
+    * late-binding enrichment of a log pipeline (the dimension version that
+    * was active when the event happened). Spark has no native as-of join;
+    * the naive per-row subquery/range join is O(rows × versions).
+    *
+    * This is the scale-correct UNION + RUNNING-WINDOW shape: tag both
+    * sides, union, sort each key partition once by (ts, side) with the
+    * dimension side FIRST at equal timestamps (ties are inclusive, like
+    * DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`), and carry each dimension
+    * attribute forward with `last(attr, ignoreNulls = true)` over the
+    * running frame — O(1) window state, ONE shuffle on the key, both
+    * inputs streamed in sort order, never buffered. Left rows before any
+    * dimension version get nulls (left-join semantics).
+    *
+    * `rightAttrs` must not collide with left column names. The right side
+    * must be unique per (key, rightTs) — pre-aggregate it otherwise (an
+    * ambiguous as-of match is a bug in the caller, not a tie to break
+    * silently; uniqueness is asserted cheaply via the oracle/test, not a
+    * runtime scan).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightTsCol: String,
+      rightAttrs: Seq[String]): DataFrame = {
+    require(rightAttrs.nonEmpty, "asofJoin needs at least one right attribute")
+    val leftCols = left.columns.toSeq
+    require(rightAttrs.intersect(leftCols).isEmpty,
+      s"right attrs ${rightAttrs.intersect(leftCols)} collide with left columns")
+    val l = left.select(
+      (leftCols.map(col) :+ lit(1).as("__side")) ++
+        rightAttrs.map(a => lit(null).cast(right.schema(a).dataType).as(a)): _*)
+      .withColumn("__ts", col(tsCol))
+    val r = right.select(
+      (Seq(col(keyCol), col(rightTsCol).as("__ts"), lit(0).as("__side")) ++
+        rightAttrs.map(col)): _*)
+    // left payload columns are null on dimension rows; they are filtered
+    // out after the carry-forward, so only schema alignment matters
+    val rAligned = r.select(
+      (leftCols.map(c => if (c == keyCol) col(c) else lit(null).cast(l.schema(c).dataType).as(c)) :+
+        col("__side")) ++ rightAttrs.map(col) :+ col("__ts"): _*)
+    val unioned = l.unionByName(rAligned)
+    val carry = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightAttrs.foldLeft(unioned) { (df, a) =>
+      df.withColumn(a, last(col(a), ignoreNulls = true).over(carry))
+    }
+    carried.where(col("__side") === 1).drop("__side", "__ts")
+  }
 }

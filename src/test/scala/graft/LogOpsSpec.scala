@@ -151,6 +151,41 @@ class LogOpsSpec extends AnyFunSuite {
     assert((d3.getLong(8), d3.getLong(9)) === ((0L, 0L)))
   }
 
+  test("asofJoin: most recent version ≤ ts, inclusive ties, null before first version") {
+    val left = Seq(
+      (1L, 10L, 5L),   // before any version → null
+      (2L, 10L, 10L),  // ts == version ts → INCLUSIVE match (v1)
+      (3L, 10L, 15L),  // between versions → v1
+      (4L, 10L, 20L),  // at second version → v2
+      (5L, 10L, 99L),  // far after → still v2
+      (6L, 77L, 50L)   // key with no versions at all → null
+    ).toDF("event_id", "key", "ts")
+    val right = Seq((10L, 10L, 111L), (10L, 20L, 222L)).toDF("key", "vts", "attr")
+    val out = LogOps.asofJoin(left, right, "key", "ts", "vts", Seq("attr"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> None, 2L -> Some(111L), 3L -> Some(111L),
+      4L -> Some(222L), 5L -> Some(222L), 6L -> None))
+  }
+
+  test("asofJoin: multiple attrs carried together; left columns pass through") {
+    val left = Seq((1L, "k", 15L, "payload")).toDF("event_id", "key", "ts", "extra")
+    val right = Seq(("k", 10L, 7L, "x")).toDF("key", "vts", "a1", "a2")
+    val out = LogOps.asofJoin(left, right, "key", "ts", "vts", Seq("a1", "a2")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("extra") === "payload" &&
+      r.getAs[Long]("a1") === 7L && r.getAs[String]("a2") === "x")
+  }
+
+  test("asofJoin: rejects colliding attr names") {
+    val left = Seq((1L, "k", 15L)).toDF("event_id", "key", "ts")
+    val right = Seq(("k", 10L, 7L)).toDF("key", "vts", "ts")
+    assertThrows[IllegalArgumentException] {
+      LogOps.asofJoin(left, right, "key", "ts", "vts", Seq("ts"))
+    }
+  }
+
   test("salientTerms: tf desc, df asc, term asc; k cap") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),

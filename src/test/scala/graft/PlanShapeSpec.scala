@@ -242,6 +242,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 2 histogram-sized shuffles:\n${out.queryExecution.executedPlan}")
   }
 
+  test("asofJoin is ONE shuffle on the key: no join node, no per-row range scan") {
+    import spark.implicits._
+    val left = (1L to 500L).map(i => (i, i % 13, i * 10)).toDF("event_id", "key", "ts")
+    val right = (1L to 40L).map(i => (i % 13, i * 100, i)).toDF("key", "vts", "attr")
+    val out = graft.logops.LogOps.asofJoin(left, right, "key", "ts", "vts", Seq("attr"))
+    val nodes = executedNodes(out)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.length == 1,
+      s"union + carry window must shuffle once:\n${out.queryExecution.executedPlan}")
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      "as-of must be the union/window shape, not a join")
+  }
+
   test("quotaSample elects winners via the bounded kmin aggregate: no window, no collect") {
     import org.apache.spark.sql.execution.window.WindowExec
     import spark.implicits._
