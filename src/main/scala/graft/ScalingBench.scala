@@ -46,8 +46,11 @@ object ScalingBench {
     // keeper election + MinHash LSH pairs over the synthetic documents
     // table) — same two-level protocol, different timed job and row default
     val workload = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORKLOAD", "flagship")
-    val defaultRows =
-      if (workload == "dedup" || workload == "cluster") "4000000" else "256000000"
+    val defaultRows = workload match {
+      case "dedup" | "cluster" => "4000000"
+      case "sessionize" => "64000000" // shuffle+sort per event, no regex/md5
+      case _ => "256000000"
+    }
     val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", defaultRows).toLong
     // default N=4 (levels 4 and 16): executor-realistic core counts that
     // keep 4N at half the host's 32 cores — the full-machine 8/32 pairing
@@ -68,6 +71,7 @@ object ScalingBench {
     val inputPath = workload match {
       case "flagship" => Synth.materialize(genSession, rows, workDir)
       case "dedup" | "cluster" => Synth.materializeDocuments(genSession, rows, workDir)
+      case "sessionize" => Synth.materializeEvents(genSession, rows, workDir)
       case other => throw new IllegalArgumentException(s"unknown workload: $other")
     }
     genSession.stop()
@@ -140,7 +144,10 @@ object ScalingBenchLevel {
     // matches how a real executor fleet sizes graph shuffles (thousands of
     // partitions), and applies identically at both levels, so the N-vs-4N
     // ratio stays fair.
-    val spark = session(k, if (workload == "cluster") 4 * k else k)
+    // sessionize sorts every key partition (window carry): 4×cores
+    // partitions bound per-task sort buffers, same rationale as cluster
+    val spark = session(k,
+      if (workload == "cluster" || workload == "sessionize") 4 * k else k)
     val df = spark.read.parquet(inputPath)
 
     val once: () => (Double, Long) = workload match {
@@ -191,6 +198,18 @@ object ScalingBenchLevel {
           clusters.count()
           val sec = (System.nanoTime() - t0) / 1e9
           graft.dedup.Dedup.releaseClusters(clusters)
+          (sec, inputRows)
+        }
+      case "sessionize" =>
+        // the logops family's representative: ONE shuffle on user, running
+        // lag/sum windows (O(1) frame state), superset-keyed per-session
+        // aggregate riding the same partitioning; throughput = input
+        // events/sec
+        val inputRows = df.count()
+        () => {
+          val t0 = System.nanoTime()
+          graft.logops.LogOps.sessionize(df, gapSeconds = 1800).count()
+          val sec = (System.nanoTime() - t0) / 1e9
           (sec, inputRows)
         }
       case other => throw new IllegalArgumentException(s"unknown workload: $other")

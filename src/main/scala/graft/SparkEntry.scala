@@ -758,7 +758,14 @@ object SparkEntry {
         .groupBy(col("user_id"), col("p_ts_us"))
         .agg(max(col("v_c")).as("p_value_c")) // unique per (user, ts): as-of contract
       LogOps.asofJoin(clicks, purchases, "user_id", "ts_us", "p_ts_us", Seq("p_value_c"))
-    }))
+    }),
+
+    // Misra-Gries heavy hitters: top terms per language through the
+    // bounded m-counter summary (m=64 > the corpus vocabulary, so every
+    // count is exact and the oracle is the true word count — the
+    // approximate regime's guarantee is property-tested in the suite)
+    "q_heavy_hitters" -> ((s, dir) =>
+      CorpusStats.heavyTerms(docs(s, dir), "lang", m = 64, k = 10)))
 
   // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------
 
@@ -1754,5 +1761,16 @@ object SparkEntry {
         |)
         |SELECT c.event_id, c.user_id, c.ts_us, p.p_value_c
         |FROM clicks c ASOF LEFT JOIN purchases p
-        |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us""".stripMargin)
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT lang, rk, term, cnt FROM (
+        |  SELECT lang, tok AS term, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, tok ASC) AS BIGINT) AS rk
+        |  FROM (
+        |    SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents WHERE trim(text) <> ''
+        |  ) GROUP BY 1, 2
+        |) WHERE rk <= 10""".stripMargin)
 }

@@ -90,6 +90,34 @@ object Synth {
     path
   }
 
+  /** Deterministic event stream for the logops scaling workload: ~50
+    * events per user, timestamps uniform over one day (mean per-user gap
+    * ≈ 1.7 ks, so an 1800 s sessionization threshold yields a healthy mix
+    * of session breaks and continuations), hash-assigned users (realistic
+    * shuffle skew profile: multinomial, no planted hot key). Pure column
+    * expressions keyed on id — identical at any parallelism.
+    */
+  def events(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): DataFrame = {
+    val users = math.max(n / 50L, 1L)
+    (if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n))
+      .select(
+        col("id").as("event_id"),
+        pmod(xxhash64(col("id"), lit(seed)), lit(users)).as("user_id"),
+        timestamp_seconds(pmod(xxhash64(col("id"), lit(seed + 1)), lit(86400L))).as("ts"),
+        (pmod(xxhash64(col("id"), lit(seed + 2)), lit(10000L)).cast("double") / 100.0).as("value"))
+  }
+
+  /** Write-once events table (see [[materialize]] rationale). */
+  def materializeEvents(spark: SparkSession, n: Long, dir: String,
+      seed: Long = 42L, partitions: Int = 256): String = {
+    val path = s"$dir/events_n${n}_s${seed}_p$partitions"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      events(spark, n, seed, partitions).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   /** Write-once helper for benches: synthesize to parquet if absent, return
     * path. Reading from disk makes N-vs-4N timing measure the pipeline, not
     * the generator.

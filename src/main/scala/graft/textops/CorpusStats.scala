@@ -97,4 +97,32 @@ object CorpusStats {
       .where(col("rk") <= k)
       .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"))
   }
+
+  /** Top-`k` frequent terms per group via the bounded Misra-Gries summary
+    * ([[graft.expressions.HeavyHittersAgg]], `m` counters): the top-talkers
+    * query whose state does NOT scale with vocabulary. `groupBy(term)`
+    * materializes every distinct term before ranking — at 100 TB a token/
+    * URL/IP vocabulary is billions of rows through the shuffle; here each
+    * map task ships ≤ m (term, count) entries per group and the ranking
+    * window sees ≤ m rows per group, never the vocabulary.
+    *
+    * Counts are exact when a group's distinct-term count stays ≤ m (no
+    * decrement ever fires — the regime the DuckDB oracle pins); otherwise
+    * each count is an underestimate by at most floor(n/(m+1)) and every
+    * term with true count above that bound is guaranteed present
+    * (property-tested against exact counts).
+    */
+  def heavyTerms(docs: DataFrame, groupCol: String, m: Int, k: Int): DataFrame = {
+    require(k > 0 && k <= m, s"need 0 < k <= m, got k=$k m=$m")
+    val summary = docs
+      .select(col(groupCol), explode(TextFunctions.words(col("text"))).as("term"))
+      .groupBy(col(groupCol))
+      .agg(graft.expressions.HeavyHittersAgg(col("term"), m).as("hh"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("term").asc)
+    summary
+      .select(col(groupCol), explode(col("hh")).as(Seq("term", "cnt")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col(groupCol), col("rk"), col("term"), col("cnt"))
+  }
 }

@@ -255,6 +255,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "as-of must be the union/window shape, not a join")
   }
 
+  test("heavyTerms aggregates partial+final bounded summaries: window sees <= m rows per group") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.textops.CorpusStats.heavyTerms(docs, "lang", m = 64, k = 10)
+    val nodes = executedNodes(out)
+    val aggs = nodes.filter(_.nodeName.contains("Aggregate"))
+    assert(aggs.count(_.toString.contains("heavy_hitters")) >= 2,
+      s"expected partial+final heavy_hitters aggregate:\n${out.queryExecution.executedPlan}")
+    // the ranking window consumes the exploded SUMMARY (child contains the
+    // final aggregate), never the raw token stream
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty &&
+      nodes.exists(n => n.nodeName.contains("Generate")),
+      "summary map must explode above the aggregate")
+    assert(!nodes.exists(_.toString.contains("collect_list")))
+  }
+
   test("quotaSample elects winners via the bounded kmin aggregate: no window, no collect") {
     import org.apache.spark.sql.execution.window.WindowExec
     import spark.implicits._

@@ -232,4 +232,41 @@ class SketchExprSpec extends AnyFunSuite {
     df.observe(obs, graft.expressions.CountByKeyAgg(col("k")).as("m")).count()
     assert(obs.get("m").asInstanceOf[scala.collection.Map[String, Long]].toMap == want)
   }
+
+  test("HeavyHittersAgg: exact when vocab <= m (any partitioning)") {
+    val rnd = new scala.util.Random(11)
+    val tokens = rnd.shuffle(
+      (1 to 40).flatMap(i => Seq.fill(1 + 4000 / i)(f"t$i%03d")))
+    val df = tokens.map(Tuple1(_)).toDF("t").repartition(9)
+    val want = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = df.select(graft.expressions.HeavyHittersAgg(col("t"), 64).as("m"))
+      .collect()(0).getMap[String, Long](0).toMap
+    assert(got == want, "no decrement can fire below the vocab size: exact")
+  }
+
+  test("HeavyHittersAgg: Misra-Gries bound under overflow, multi-partition merge") {
+    val rnd = new scala.util.Random(23)
+    // Zipf-ish: 300 distinct tokens, frequency ~ 4000/i
+    val tokens = rnd.shuffle(
+      (1 to 300).flatMap(i => Seq.fill(1 + 4000 / i)(f"t$i%03d")))
+    val n = tokens.size.toLong
+    val truth = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (m <- Seq(8, 32); parts <- Seq(1, 11)) {
+      val df = tokens.map(Tuple1(_)).toDF("t").repartition(parts)
+      val est = df.select(graft.expressions.HeavyHittersAgg(col("t"), m).as("m"))
+        .collect()(0).getMap[String, Long](0).toMap
+      val bound = n / (m + 1)
+      assert(est.size <= m)
+      est.foreach { case (t, e) =>
+        val tr = truth(t)
+        assert(e <= tr, s"m=$m parts=$parts: over-estimate for $t: $e > $tr")
+        assert(tr - e <= bound, s"m=$m parts=$parts: error ${tr - e} > $bound for $t")
+      }
+      truth.foreach { case (t, tr) =>
+        if (tr > bound)
+          assert(est.contains(t),
+            s"m=$m parts=$parts: token $t with count $tr > bound $bound missing")
+      }
+    }
+  }
 }
