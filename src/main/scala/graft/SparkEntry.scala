@@ -765,7 +765,14 @@ object SparkEntry {
     // count is exact and the oracle is the true word count — the
     // approximate regime's guarantee is property-tested in the suite)
     "q_heavy_hitters" -> ((s, dir) =>
-      CorpusStats.heavyTerms(docs(s, dir), "lang", m = 64, k = 10)))
+      CorpusStats.heavyTerms(docs(s, dir), "lang", m = 64, k = 10)),
+
+    // ordered funnel per session (view → click → purchase): stage j is the
+    // earliest step-j event at-or-after stage j-1 — k co-keyed conditional
+    // aggregates, no event-list gather
+    "q_funnel" -> ((s, dir) =>
+      LogOps.funnel(events(s, dir), Seq("view", "click", "purchase"),
+        gapSeconds = 1800)))
 
   // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------
 
@@ -1772,5 +1779,42 @@ object SparkEntry {
         |    SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |    FROM documents WHERE trim(text) <> ''
         |  ) GROUP BY 1, 2
-        |) WHERE rk <= 10""".stripMargin)
+        |) WHERE rk <= 10""".stripMargin,
+
+    "q_funnel" ->
+      """WITH tagged AS (
+        |  SELECT user_id, session_idx, ts_us, event_type FROM (
+        |    SELECT user_id, event_type, ts_us,
+        |      CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |    FROM (
+        |      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS is_break
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |    )
+        |  )
+        |), s1 AS (
+        |  SELECT user_id, session_idx,
+        |    min(CASE WHEN event_type = 'view' THEN ts_us END) AS stage1_us
+        |  FROM tagged GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT t.user_id, t.session_idx,
+        |    min(CASE WHEN t.event_type = 'click' AND t.ts_us >= s1.stage1_us
+        |        THEN t.ts_us END) AS stage2_us
+        |  FROM tagged t JOIN s1 USING (user_id, session_idx) GROUP BY 1, 2
+        |), s3 AS (
+        |  SELECT t.user_id, t.session_idx,
+        |    min(CASE WHEN t.event_type = 'purchase' AND t.ts_us >= s2.stage2_us
+        |        THEN t.ts_us END) AS stage3_us
+        |  FROM tagged t JOIN s2 USING (user_id, session_idx) GROUP BY 1, 2
+        |)
+        |SELECT s1.user_id, s1.session_idx, s1.stage1_us, s2.stage2_us, s3.stage3_us,
+        |  CAST(s1.stage1_us IS NOT NULL AS BIGINT)
+        |    + CAST(s2.stage2_us IS NOT NULL AS BIGINT)
+        |    + CAST(s3.stage3_us IS NOT NULL AS BIGINT) AS stages_reached
+        |FROM s1 JOIN s2 USING (user_id, session_idx)
+        |        JOIN s3 USING (user_id, session_idx)""".stripMargin)
 }

@@ -156,6 +156,64 @@ object LogOps {
     withCum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Ordered-funnel progression per session: for funnel steps s1 → s2 → …
+    * → sk, a session reaches stage j when there exist events of types
+    * s1..sj at non-decreasing timestamps (each stage's timestamp is the
+    * EARLIEST occurrence at-or-after the previous stage — the standard
+    * product-analytics funnel definition). Returns one row per session
+    * with each stage's epoch-micro timestamp (null once progression
+    * stops) and `stages_reached`.
+    *
+    * Shape at scale: sessionize's single user-shuffle, then one
+    * conditional aggregate PER STAGE over the session key — stage j's
+    * aggregate needs stage j-1's timestamp, an inherently sequential
+    * dependency, so it is k joined aggregates rather than one (k is the
+    * funnel length, a small constant; every aggregate and join is
+    * co-keyed on (user, session_idx) and partial+final — no windows over
+    * raw events, no event-list gather, state O(1) per session per stage).
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      gapSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    // session assignment (same windows as sessionize, pre-aggregation)
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    val tagged = events
+      .withColumn("ts_us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
+      .withColumn("is_break",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_break")).over(running))
+      .select(col(userCol), col("session_idx"), col("ts_us"), col(typeCol))
+    val key = Seq(userCol, "session_idx")
+    // stage 1: earliest step-1 event per session
+    val first = tagged
+      .groupBy(key.map(col): _*)
+      .agg(min(when(col(typeCol) === steps.head, col("ts_us"))).as("stage1_us"))
+    // stage j: earliest step-j event at-or-after stage j-1
+    val staged = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"stage${i}_us"
+      val cur = s"stage${i + 1}_us"
+      val next = tagged.join(acc.select((key :+ prev).map(col): _*), key)
+        .groupBy(key.map(col): _*)
+        .agg(min(when(col(typeCol) === step && col("ts_us") >= col(prev),
+          col("ts_us"))).as(cur))
+      acc.join(next, key)
+    }
+    val stageCols = steps.indices.map(i => col(s"stage${i + 1}_us"))
+    staged.withColumn("stages_reached",
+      stageCols.map(c => when(c.isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
   /** As-of (most-recent-version) join: each left row picks the right row
     * with the LARGEST `rightTs` ≤ its own `ts`, per key — the canonical
     * late-binding enrichment of a log pipeline (the dimension version that

@@ -151,6 +151,40 @@ class LogOpsSpec extends AnyFunSuite {
     assert((d3.getLong(8), d3.getLong(9)) === ((0L, 0L)))
   }
 
+  test("funnel: ordered progression, out-of-order steps don't count, per-session isolation") {
+    def e(id: Long, user: Long, ts: Long, typ: String) = (id, user, ts, typ, 0.0)
+    val events = Seq(
+      // user 1, session 1: full ordered funnel A(0) B(10) C(20)
+      e(1, 1, 0, "A"), e(2, 1, 10, "B"), e(3, 1, 20, "C"),
+      // user 2: B before A — B must NOT count; later B(30) does; no C
+      e(4, 2, 0, "B"), e(5, 2, 10, "A"), e(6, 2, 30, "B"),
+      // user 3: C only → zero stages
+      e(7, 3, 5, "C"),
+      // user 1, session 2 (gap > 1800): A only — progression isolated
+      e(8, 1, 5000, "A"))
+      .toDF("event_id", "user_id", "ts_s", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s")).cast("timestamp_ntz"))
+      .drop("ts_s")
+    val out = LogOps.funnel(events, Seq("A", "B", "C"), gapSeconds = 1800)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), r.getLong(5))).toMap
+    assert(out((1L, 1L)) === ((Some(0L), Some(10000000L), Some(20000000L), 3L)))
+    assert(out((2L, 1L)) === ((Some(10000000L), Some(30000000L), None, 2L)))
+    assert(out((3L, 1L)) === ((None, None, None, 0L)))
+    assert(out((1L, 2L)) === ((Some(5000000000L), None, None, 1L)))
+    assert(out.size === 4)
+  }
+
+  test("funnel: same-timestamp step events satisfy at-or-after (inclusive)") {
+    val events = Seq((1L, 1L, 100L, "A", 0.0), (2L, 1L, 100L, "B", 0.0))
+      .toDF("event_id", "user_id", "ts_s", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s")).cast("timestamp_ntz"))
+      .drop("ts_s")
+    val r = LogOps.funnel(events, Seq("A", "B"), gapSeconds = 1800).collect().head
+    assert(r.getAs[Long]("stages_reached") === 2L)
+  }
+
   test("asofJoin: most recent version ≤ ts, inclusive ties, null before first version") {
     val left = Seq(
       (1L, 10L, 5L),   // before any version → null
