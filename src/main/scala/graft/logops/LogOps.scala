@@ -19,6 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object LogOps {
 
+  /** THE session-assignment definition, shared by [[sessionize]] and
+    * [[funnel]] (one source of truth: a drift between the two would bucket
+    * the same events into different sessions). Adds `ts_us` (exact epoch
+    * micros) and `session_idx` (1-based per user, time order) to `events`.
+    * Two sequential Window nodes over the SAME partitioning+ordering (a
+    * window function can't nest inside another's argument): one sort, no
+    * second exchange.
+    */
+  private def tagSessions(
+      events: DataFrame,
+      gapSeconds: Long,
+      userCol: String,
+      tsCol: String,
+      idCol: String): DataFrame = {
+    require(gapSeconds > 0, s"session gap must be positive, got $gapSeconds")
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    events
+      // NTZ → TIMESTAMP under the session's fixed UTC zone: the same
+      // wall-clock-as-UTC reading DuckDB's epoch_us gives a naive timestamp
+      .withColumn("ts_us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
+      .withColumn("is_break",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_break")).over(running))
+  }
+
   /** Gap-based sessionization: a session is a maximal run of one user's
     * events where consecutive gaps are ≤ `gapSeconds`. The classic
     * log-pipeline operator (publicly described everywhere from web-analytics
@@ -47,22 +76,7 @@ object LogOps {
       tsCol: String = "ts",
       idCol: String = "event_id",
       valueCol: String = "value"): DataFrame = {
-    require(gapSeconds > 0, s"session gap must be positive, got $gapSeconds")
-    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gapUs = gapSeconds * 1000000L
-    // two sequential Window nodes over the SAME partitioning+ordering (a
-    // window function can't nest inside another's argument): one sort, no
-    // second exchange
-    events
-      // NTZ → TIMESTAMP under the session's fixed UTC zone: the same
-      // wall-clock-as-UTC reading DuckDB's epoch_us gives a naive timestamp
-      .withColumn("ts_us", unix_micros(col(tsCol).cast("timestamp")))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
-      .withColumn("is_break",
-        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_idx", sum(col("is_break")).over(running))
+    tagSessions(events, gapSeconds, userCol, tsCol, idCol)
       .groupBy(col(userCol), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -182,17 +196,7 @@ object LogOps {
       typeCol: String = "event_type"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
-    // session assignment (same windows as sessionize, pre-aggregation)
-    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gapUs = gapSeconds * 1000000L
-    val tagged = events
-      .withColumn("ts_us", unix_micros(col(tsCol).cast("timestamp")))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
-      .withColumn("is_break",
-        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_idx", sum(col("is_break")).over(running))
+    val tagged = tagSessions(events, gapSeconds, userCol, tsCol, idCol)
       .select(col(userCol), col("session_idx"), col("ts_us"), col(typeCol))
     val key = Seq(userCol, "session_idx")
     // stage 1: earliest step-1 event per session
@@ -246,25 +250,35 @@ object LogOps {
     val leftCols = left.columns.toSeq
     require(rightAttrs.intersect(leftCols).isEmpty,
       s"right attrs ${rightAttrs.intersect(leftCols)} collide with left columns")
-    val l = left.select(
-      (leftCols.map(col) :+ lit(1).as("__side")) ++
-        rightAttrs.map(a => lit(null).cast(right.schema(a).dataType).as(a)): _*)
+    // the whole dimension version is carried as ONE struct: carrying each
+    // attribute independently with last(ignoreNulls) would (a) skip a
+    // version whose attribute is genuinely NULL (resurrecting a superseded
+    // value) and (b) mix attributes from different versions — the struct is
+    // non-null exactly on dimension rows, so one ignoreNulls carry picks
+    // the latest VERSION atomically, nulls inside it and all
+    val dimStruct = struct(rightAttrs.map(col): _*)
+    val dimType = {
+      val r = right.select(dimStruct.as("__dim"))
+      r.schema("__dim").dataType
+    }
+    val l = left.select(leftCols.map(col) :+ lit(1).as("__side") :+
+      lit(null).cast(dimType).as("__dim"): _*)
       .withColumn("__ts", col(tsCol))
-    val r = right.select(
-      (Seq(col(keyCol), col(rightTsCol).as("__ts"), lit(0).as("__side")) ++
-        rightAttrs.map(col)): _*)
+    val r = right.select(col(keyCol), col(rightTsCol).as("__ts"),
+      lit(0).as("__side"), dimStruct.as("__dim"))
     // left payload columns are null on dimension rows; they are filtered
     // out after the carry-forward, so only schema alignment matters
     val rAligned = r.select(
-      (leftCols.map(c => if (c == keyCol) col(c) else lit(null).cast(l.schema(c).dataType).as(c)) :+
-        col("__side")) ++ rightAttrs.map(col) :+ col("__ts"): _*)
+      leftCols.map(c => if (c == keyCol) col(c) else lit(null).cast(l.schema(c).dataType).as(c)) :+
+        col("__side") :+ col("__dim") :+ col("__ts"): _*)
     val unioned = l.unionByName(rAligned)
     val carry = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightAttrs.foldLeft(unioned) { (df, a) =>
-      df.withColumn(a, last(col(a), ignoreNulls = true).over(carry))
-    }
-    carried.where(col("__side") === 1).drop("__side", "__ts")
+    val carried = unioned
+      .withColumn("__dim", last(col("__dim"), ignoreNulls = true).over(carry))
+    rightAttrs.foldLeft(carried) { (df, a) => df.withColumn(a, col("__dim")(a)) }
+      .where(col("__side") === 1)
+      .drop("__side", "__ts", "__dim")
   }
 }

@@ -177,7 +177,13 @@ object StreamRouter {
                   closed += close(s)
                   cur = Some(SessState(e.ts_us, e.ts_us, 1L, e.v_c))
                 case Some(s) =>
-                  cur = Some(SessState(s.startUs, math.max(s.lastUs, e.ts_us),
+                  // min on start too: an out-of-order event inside the
+                  // watermark may precede the session's current start, and
+                  // the batch operator's aggregates (and the session's
+                  // (user, start_us) identity) must not depend on arrival
+                  // order
+                  cur = Some(SessState(math.min(s.startUs, e.ts_us),
+                    math.max(s.lastUs, e.ts_us),
                     s.nEvents + 1, s.valueC + e.v_c))
                 case None =>
                   cur = Some(SessState(e.ts_us, e.ts_us, 1L, e.v_c))

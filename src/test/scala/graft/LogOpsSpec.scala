@@ -212,6 +212,20 @@ class LogOpsSpec extends AnyFunSuite {
       r.getAs[Long]("a1") === 7L && r.getAs[String]("a2") === "x")
   }
 
+  test("asofJoin: a NULL attribute in the latest version is honored, not resurrected") {
+    // version at ts=10 has a1 = NULL, a2 = "y": the ts=15 event must get
+    // THAT version atomically (a1 null, a2 "y"), never a1=7 from the
+    // superseded ts=5 version — per-attribute carries would mix versions
+    val left = Seq((1L, "k", 15L)).toDF("event_id", "key", "ts")
+    val right = Seq(
+      ("k", 5L, Some(7L), "x"),
+      ("k", 10L, None: Option[Long], "y")).toDF("key", "vts", "a1", "a2")
+    val r = LogOps.asofJoin(left, right, "key", "ts", "vts", Seq("a1", "a2"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("a1")), "superseded non-null a1 resurrected")
+    assert(r.getAs[String]("a2") === "y")
+  }
+
   test("asofJoin: rejects colliding attr names") {
     val left = Seq((1L, "k", 15L)).toDF("event_id", "key", "ts")
     val right = Seq(("k", 10L, 7L)).toDF("key", "vts", "ts")

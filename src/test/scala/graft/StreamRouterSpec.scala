@@ -181,4 +181,31 @@ class StreamRouterSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(got.subsetOf(batch))
   }
+
+  test("streaming sessionization: out-of-order within-watermark event lowers session start") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF.toDF("user_id", "ts", "value")
+    val sess = StreamRouter.sessionize(stream, gapSeconds = 1800, delay = "30 seconds")
+    val q = sess.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    // batch 1: session opens at 100 s (watermark → 70 s)
+    mem.addData((1L, ts(100), 1.0))
+    q.processAllAvailable()
+    // batch 2: an EARLIER event (95 s ≥ watermark) arrives late — the
+    // session's start must move back to 95 s, as the batch operator would
+    mem.addData((1L, ts(95), 2.0))
+    q.processAllAvailable()
+    // close it via watermark
+    mem.addData((9L, ts(50000), 0.0))
+    q.processAllAvailable()
+    mem.addData((9L, ts(99000), 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_ooo")
+      .select("user_id", "start_us", "end_us", "n_events", "value_c")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 95000000L, 100000000L, 2L, 300L)),
+      s"late-but-valid event must extend the session backwards, got $got")
+  }
 }
