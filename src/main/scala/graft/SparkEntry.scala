@@ -772,7 +772,12 @@ object SparkEntry {
     // aggregates, no event-list gather
     "q_funnel" -> ((s, dir) =>
       LogOps.funnel(events(s, dir), Seq("view", "click", "purchase"),
-        gapSeconds = 1800)))
+        gapSeconds = 1800)),
+
+    // cohort retention triangle: first-active-day cohorts × distinct
+    // returning users per day offset (raw volume collapses at the
+    // distinct (user, day) pass)
+    "q_retention" -> ((s, dir) => LogOps.retention(events(s, dir))))
 
   // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------
 
@@ -1816,5 +1821,18 @@ object SparkEntry {
         |    + CAST(s2.stage2_us IS NOT NULL AS BIGINT)
         |    + CAST(s3.stage3_us IS NOT NULL AS BIGINT) AS stages_reached
         |FROM s1 JOIN s2 USING (user_id, session_idx)
-        |        JOIN s3 USING (user_id, session_idx)""".stripMargin)
+        |        JOIN s3 USING (user_id, session_idx)""".stripMargin,
+
+    "q_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1
+        |)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM days d JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -170,6 +170,34 @@ object LogOps {
     withCum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cohort retention: users are cohorted by their FIRST active day; each
+    * (cohort_day, day_offset) cell counts the distinct cohort members
+    * active again `day_offset` days later — the standard retention
+    * triangle. Days are integer epoch days (floor(epoch_us / 86.4e9);
+    * exact below 2^53, identical in any engine).
+    *
+    * Shape at scale: the raw stream collapses to DISTINCT (user, day)
+    * first (partial+final, the only pass over raw volume), the
+    * cohort-day aggregate and the join back are both keyed on user (one
+    * co-keyed exchange), and the final cell count is a two-phase distinct
+    * aggregate over (cohort, offset, user) triples — bounded by
+    * users × active-days, never raw events.
+    */
+  def retention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events
+      .select(col(userCol),
+        floor(unix_micros(col(tsCol).cast("timestamp")) / 86400000000.0)
+          .cast("long").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, userCol)
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
   /** Ordered-funnel progression per session: for funnel steps s1 → s2 → …
     * → sk, a session reaches stage j when there exist events of types
     * s1..sj at non-decreasing timestamps (each stage's timestamp is the

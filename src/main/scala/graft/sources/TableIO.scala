@@ -130,3 +130,43 @@ final class IcebergIO(catalog: String) extends TableIO {
         "ORDER BY committed_at DESC LIMIT 1")
       .collect().headOption.map(_.get(0).toString).getOrElse("none")
 }
+
+/** Bucketed parquet tables: the 100 TB answer to REPEATED joins and
+  * aggregations on a fixed key. A shuffle join moves both sides over the
+  * network EVERY time it runs; writing a table `bucketBy(n, key)` +
+  * `sortBy(key)` pays one shuffle at WRITE time, after which every
+  * equi-join or aggregation on the key between same-bucketed tables runs
+  * with ZERO exchanges (and zero sorts, the files are pre-sorted) —
+  * asserted in TableIOSpec. This is how a routing pipeline's hot
+  * dimension/fact co-location survives daily re-joins at scale.
+  *
+  * Tables are EXTERNAL (explicit `path` option): data lives where the
+  * caller says, only metadata (bucket spec) goes through the session
+  * catalog — nothing lands in a warehouse directory. The Iceberg analog
+  * is a `bucket(n, key)` partition transform on the same writeTo surface.
+  */
+object BucketedIO {
+
+  /** Write `df` as a bucketed, per-bucket-sorted external table. */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      buckets: Int,
+      keyCols: Seq[String]): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(keyCols.nonEmpty, "need at least one bucket key")
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(tableName)
+  }
+
+  /** Read a bucketed table back (bucket metadata comes from the catalog —
+    * a plain `spark.read.parquet(path)` would lose the bucket spec and
+    * re-shuffle on the next join).
+    */
+  def readTable(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+}

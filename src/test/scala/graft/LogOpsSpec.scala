@@ -151,6 +151,26 @@ class LogOpsSpec extends AnyFunSuite {
     assert((d3.getLong(8), d3.getLong(9)) === ((0L, 0L)))
   }
 
+  test("retention: first-day cohorts, distinct per offset, multi-day activity") {
+    val day = 86400L
+    val events = ev(Seq(
+      // user 1: days 0, 1, 1 (dup same day), 3
+      (1L, 1L, 10L, 0.0), (2L, 1L, day + 5L, 0.0),
+      (3L, 1L, day + 60L, 0.0), (4L, 1L, 3 * day, 0.0),
+      // user 2: first active day 1, returns day 3 (offset 2)
+      (5L, 2L, day + 7L, 0.0), (6L, 2L, 3 * day + 1L, 0.0),
+      // user 3: day 0 only
+      (7L, 3L, 20L, 0.0)))
+    val out = LogOps.retention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L, // users 1, 3 on their day-0
+      (0L, 1L) -> 1L, // user 1 returns next day (dup events counted once)
+      (0L, 3L) -> 1L, // user 1 on day 3
+      (1L, 0L) -> 1L, // user 2's cohort
+      (1L, 2L) -> 1L)) // user 2 returns 2 days later
+  }
+
   test("funnel: ordered progression, out-of-order steps don't count, per-session isolation") {
     def e(id: Long, user: Long, ts: Long, typ: String) = (id, user, ts, typ, 0.0)
     val events = Seq(

@@ -78,4 +78,44 @@ class TableIOSpec extends AnyFunSuite {
       s"$dir/out2", maxRecordsPerFile = 1000L)
     assert(ParquetIO.versionId(spark, s"$dir/out2") != vOut1) // 600 ≠ 500 rows
   }
+
+  test("BucketedIO: co-bucketed join and aggregation run with ZERO exchanges") {
+    import graft.sources.BucketedIO
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val facts = (1L to 5000L).map(i => (i % 97, i, i * 3)).toDF("key", "event_id", "v")
+    val dims = (0L to 96L).flatMap(k => Seq((k, s"attr$k"))).toDF("key", "attr")
+    BucketedIO.writeBucketed(facts.repartition(5), "graft_bktd_facts", s"$dir/facts", 8, Seq("key"))
+    BucketedIO.writeBucketed(dims.repartition(3), "graft_bktd_dims", s"$dir/dims", 8, Seq("key"))
+    try {
+      val f = BucketedIO.readTable(spark, "graft_bktd_facts")
+      val d = BucketedIO.readTable(spark, "graft_bktd_dims")
+      // disable broadcast: the point is the co-located SORT-MERGE join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = f.join(d, "key").groupBy(col("key")).agg(count(lit(1)).as("n"))
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => q +: nodes(q.plan)
+        case o => o +: o.children.flatMap(nodes)
+      }
+      val rows = joined.collect()
+      assert(rows.length == 97 &&
+        rows.map(_.getAs[Long]("n")).sum == 5000L)
+      val shuffles = nodes(joined.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.isEmpty,
+        s"co-bucketed join+agg must be exchange-free:\n${joined.queryExecution.executedPlan}")
+      // differential: same result as the unbucketed plan
+      val want = facts.join(dims, "key").groupBy(col("key")).agg(count(lit(1)).as("n"))
+      assert(joined.exceptAll(want).isEmpty && want.exceptAll(joined).isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bktd_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bktd_dims")
+    }
+  }
 }
