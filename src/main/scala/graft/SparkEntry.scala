@@ -777,7 +777,19 @@ object SparkEntry {
     // cohort retention triangle: first-active-day cohorts × distinct
     // returning users per day offset (raw volume collapses at the
     // distinct (user, day) pass)
-    "q_retention" -> ((s, dir) => LogOps.retention(events(s, dir))))
+    "q_retention" -> ((s, dir) => LogOps.retention(events(s, dir))),
+
+    // salted skew join: output must be IDENTICAL to the plain equi-join
+    // (the salt only changes the physical distribution) — the oracle is
+    // the unsalted SQL join
+    "q_skew_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"))
+      val userDim = ev.groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("u_total_c"))
+      graft.operators.SkewJoin.saltedJoin(clicks, userDim, "user_id", salts = 8)
+    }))
 
   // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------
 
@@ -1834,5 +1846,16 @@ object SparkEntry {
         |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
         |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM days d JOIN cohort c USING (user_id)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id FROM events WHERE event_type = 'click'
+        |), dim AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS u_total_c
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT c.user_id, c.event_id, d.u_total_c
+        |FROM clicks c JOIN dim d USING (user_id)""".stripMargin)
 }

@@ -99,6 +99,36 @@ object StreamRouter {
       .withColumn("is_contaminated", col("n_overlap") > 0)
   }
 
+  /** Watermarked per-minute, per-entity event counts — the streaming
+    * datacounter (the reference ecosystem's per-minute tag aggregation,
+    * and stage 1 of the batch rate-spike query) with append-mode
+    * semantics: a (minute, entity) row is emitted ONCE, when the
+    * watermark passes the window end, and never revised. State is one
+    * count per open window per entity — bounded by delay × entity
+    * cardinality, not by stream length. Late events beyond `delay` are
+    * dropped (they would revise an already-emitted row).
+    *
+    * Output matches the batch `q_event_minute_counts` shape: minute
+    * (formatted), entity, n_events, value_c (cents summed after per-row
+    * rounding) — differentially tested against the batch aggregate on
+    * closed windows.
+    */
+  def minuteCounts(
+      stream: DataFrame,
+      delay: String,
+      entityCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    stream
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", delay)
+      .groupBy(window(col("__ts"), "1 minute"), col(entityCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col(valueCol) * 100).cast("long")).as("value_c"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("minute"),
+        col(entityCol), col("n_events"), col("value_c"))
+
   /** One in-flight event for the streaming sessionizer. `ts` carries the
     * WATERMARKED attribute into the stateful operator (Spark requires the
     * event-time column to survive to the flatMapGroupsWithState input);

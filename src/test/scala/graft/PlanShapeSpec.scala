@@ -272,6 +272,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.toString.contains("collect_list")))
   }
 
+  test("saltedJoin ≡ plain join values; hot key spreads over salt partitions") {
+    import spark.implicits._
+    // 90% of probe rows share ONE hot key
+    val large = (1L to 2000L).map(i => (i, if (i % 10 == 0) i % 7 else 999L))
+      .toDF("event_id", "key")
+    val small = (0L to 999L).map(k => (k, s"a$k")).toDF("key", "attr")
+    val out = graft.operators.SkewJoin.saltedJoin(large, small, "key", salts = 8)
+    val want = large.join(small, "key")
+    assert(out.exceptAll(want).isEmpty && want.exceptAll(out).isEmpty,
+      "salting must not change the join output")
+    // the probe-side exchange hashes on (key, __salt): the hot key is
+    // spread, not concentrated in one task (broadcast disabled — when the
+    // build side fits in memory, broadcast beats salting and AQE picks it;
+    // salting matters exactly when it does not fit)
+    val shuffleStrs =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        executedNodes(
+          graft.operators.SkewJoin.saltedJoin(large, small, "key", salts = 8))
+          .collect { case s: ShuffleExchangeLike => s.toString }
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(shuffleStrs.exists(s => s.contains("__salt")),
+      s"join must distribute on the salted key:\n${shuffleStrs.mkString("\n")}")
+    // reserved salt column is rejected, not silently clobbered
+    assertThrows[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedJoin(
+        large.withColumnRenamed("event_id", "__salt"), small, "key", 4)
+    }
+  }
+
   test("quotaSample elects winners via the bounded kmin aggregate: no window, no collect") {
     import org.apache.spark.sql.execution.window.WindowExec
     import spark.implicits._

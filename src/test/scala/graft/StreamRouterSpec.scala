@@ -182,6 +182,39 @@ class StreamRouterSpec extends AnyFunSuite {
     assert(got.subsetOf(batch))
   }
 
+  test("streaming minute counts: closed windows ≡ batch per-minute aggregate, append-once") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val stream = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = StreamRouter.minuteCounts(stream, delay = "10 seconds")
+      .writeStream.format("memory").queryName("minute_counts_stream")
+      .outputMode("append").start()
+    // minute 100..101 events, two types
+    mem.addData(
+      (1L, ts(6000), "click", 1.25), (2L, ts(6010), "click", 2.50),
+      (3L, ts(6030), "view", 0.10), (4L, ts(6070), "click", 4.00))
+    q.processAllAvailable()
+    // advance the watermark far past those minutes → windows close + emit
+    mem.addData((5L, ts(9000), "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("minute_counts_stream")
+      .as[(String, String, Long, Long)].collect().toSet
+    // batch equivalent over the closed-minute events
+    val batchRows = Seq(
+      (1L, ts(6000), "click", 1.25), (2L, ts(6010), "click", 2.50),
+      (3L, ts(6030), "view", 0.10), (4L, ts(6070), "click", 4.00))
+      .toDF("event_id", "ts", "event_type", "value")
+    val batch = batchRows
+      .groupBy(date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm").as("minute"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === batch,
+      s"closed streaming windows must equal the batch aggregate; got $got want $batch")
+  }
+
   test("streaming sessionization: out-of-order within-watermark event lowers session start") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
