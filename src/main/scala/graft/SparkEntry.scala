@@ -788,7 +788,8 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"))
       val userDim = ev.groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100).cast("long")).as("u_total_c"))
-      graft.operators.SkewJoin.saltedJoin(clicks, userDim, "user_id", salts = 8)
+      graft.operators.SkewJoin.saltedJoin(clicks, userDim, "user_id", salts = 8,
+        saltOn = Seq("event_id"))
     }))
 
   // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------

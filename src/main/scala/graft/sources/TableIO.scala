@@ -136,9 +136,18 @@ final class IcebergIO(catalog: String) extends TableIO {
   * network EVERY time it runs; writing a table `bucketBy(n, key)` +
   * `sortBy(key)` pays one shuffle at WRITE time, after which every
   * equi-join or aggregation on the key between same-bucketed tables runs
-  * with ZERO exchanges (and zero sorts, the files are pre-sorted) —
-  * asserted in TableIOSpec. This is how a routing pipeline's hot
-  * dimension/fact co-location survives daily re-joins at scale.
+  * with ZERO exchanges — and, with sorted scans enabled, zero sorts; both
+  * asserted in TableIOSpec. Two conditions gate the zero-SORT half:
+  * each bucket must be ONE file ([[BucketedIO.writeBucketed]] repartitions
+  * to the bucket hash before writing to guarantee exactly that — Murmur3
+  * `repartition` and the bucket-id hash agree, so each task writes one
+  * bucket), and the reader must set
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (Spark 3+
+  * reports bucket sort order only behind this opt-in, because it is
+  * UNSAFE when a bucket has several files — the layout this writer rules
+  * out). The zero-EXCHANGE half holds regardless. This is how a routing
+  * pipeline's hot dimension/fact co-location survives daily re-joins at
+  * scale.
   *
   * Tables are EXTERNAL (explicit `path` option): data lives where the
   * caller says, only metadata (bucket spec) goes through the session
@@ -156,7 +165,11 @@ object BucketedIO {
       keyCols: Seq[String]): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(keyCols.nonEmpty, "need at least one bucket key")
-    df.write.mode("overwrite").format("parquet")
+    import org.apache.spark.sql.functions.col
+    // one task per bucket → one FILE per bucket: multi-file buckets make
+    // Spark discard the sortBy metadata and re-sort on every read
+    df.repartition(buckets, keyCols.map(col): _*)
+      .write.mode("overwrite").format("parquet")
       .option("path", path)
       .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)

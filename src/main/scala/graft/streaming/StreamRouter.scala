@@ -118,7 +118,9 @@ object StreamRouter {
       delay: String,
       entityCol: String = "event_type",
       tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame =
+      valueCol: String = "value"): DataFrame = {
+    require(!stream.columns.contains("__ts"),
+      "__ts column name is reserved by minuteCounts")
     stream
       .withColumn("__ts", col(tsCol).cast("timestamp"))
       .withWatermark("__ts", delay)
@@ -128,6 +130,7 @@ object StreamRouter {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("minute"),
         col(entityCol), col("n_events"), col("value_c"))
+  }
 
   /** One in-flight event for the streaming sessionizer. `ts` carries the
     * WATERMARKED attribute into the stateful operator (Spark requires the

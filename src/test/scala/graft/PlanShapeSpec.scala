@@ -278,7 +278,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val large = (1L to 2000L).map(i => (i, if (i % 10 == 0) i % 7 else 999L))
       .toDF("event_id", "key")
     val small = (0L to 999L).map(k => (k, s"a$k")).toDF("key", "attr")
-    val out = graft.operators.SkewJoin.saltedJoin(large, small, "key", salts = 8)
+    val out = graft.operators.SkewJoin.saltedJoin(large, small, "key", salts = 8,
+      saltOn = Seq("event_id"))
     val want = large.join(small, "key")
     assert(out.exceptAll(want).isEmpty && want.exceptAll(out).isEmpty,
       "salting must not change the join output")
@@ -290,15 +291,23 @@ class PlanShapeSpec extends AnyFunSuite {
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         executedNodes(
-          graft.operators.SkewJoin.saltedJoin(large, small, "key", salts = 8))
+          graft.operators.SkewJoin.saltedJoin(large, small, "key", salts = 8,
+            saltOn = Seq("event_id")))
           .collect { case s: ShuffleExchangeLike => s.toString }
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert(shuffleStrs.exists(s => s.contains("__salt")),
       s"join must distribute on the salted key:\n${shuffleStrs.mkString("\n")}")
-    // reserved salt column is rejected, not silently clobbered
+    // reserved salt column, empty/unknown saltOn: rejected, never clobbered
     assertThrows[IllegalArgumentException] {
       graft.operators.SkewJoin.saltedJoin(
-        large.withColumnRenamed("event_id", "__salt"), small, "key", 4)
+        large.withColumnRenamed("event_id", "__salt"), small, "key", 4,
+        saltOn = Seq("__salt"))
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedJoin(large, small, "key", 4, saltOn = Nil)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedJoin(large, small, "key", 4, saltOn = Seq("nope"))
     }
   }
 

@@ -94,8 +94,12 @@ class TableIOSpec extends AnyFunSuite {
     try {
       val f = BucketedIO.readTable(spark, "graft_bktd_facts")
       val d = BucketedIO.readTable(spark, "graft_bktd_dims")
-      // disable broadcast: the point is the co-located SORT-MERGE join
+      // disable broadcast: the point is the co-located SORT-MERGE join.
+      // The sorted-scan half needs the (Spark 3+) opt-in flag — safe here
+      // because writeBucketed guarantees one file per bucket, the exact
+      // hazard the flag's default guards against
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val joined = f.join(d, "key").groupBy(col("key")).agg(count(lit(1)).as("n"))
       def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
@@ -105,15 +109,20 @@ class TableIOSpec extends AnyFunSuite {
       val rows = joined.collect()
       assert(rows.length == 97 &&
         rows.map(_.getAs[Long]("n")).sum == 5000L)
-      val shuffles = nodes(joined.queryExecution.executedPlan)
-        .collect { case s: ShuffleExchangeLike => s }
+      val planNodes = nodes(joined.queryExecution.executedPlan)
+      val shuffles = planNodes.collect { case s: ShuffleExchangeLike => s }
       assert(shuffles.isEmpty,
         s"co-bucketed join+agg must be exchange-free:\n${joined.queryExecution.executedPlan}")
+      // one file per bucket (writeBucketed repartitions to the bucket hash)
+      // → sortBy metadata is honored and the SMJ needs NO sort either
+      assert(!planNodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+        s"pre-sorted buckets must not re-sort:\n${joined.queryExecution.executedPlan}")
       // differential: same result as the unbucketed plan
       val want = facts.join(dims, "key").groupBy(col("key")).agg(count(lit(1)).as("n"))
       assert(joined.exceptAll(want).isEmpty && want.exceptAll(joined).isEmpty)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.sql("DROP TABLE IF EXISTS graft_bktd_facts")
       spark.sql("DROP TABLE IF EXISTS graft_bktd_dims")
     }
