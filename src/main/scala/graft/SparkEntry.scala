@@ -790,7 +790,12 @@ object SparkEntry {
         .agg(sum(round(col("value") * 100).cast("long")).as("u_total_c"))
       graft.operators.SkewJoin.saltedJoin(clicks, userDim, "user_id", salts = 8,
         saltOn = Seq("event_id"))
-    }))
+    }),
+
+    // gap-aware rolling counts: 7-day RANGE frame over integer epoch days
+    // (a ROWS frame would stretch across missing days)
+    "q_rolling_counts" -> ((s, dir) =>
+      LogOps.rollingDailyCounts(events(s, dir), windowDays = 7)))
 
   // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------
 
@@ -1858,5 +1863,16 @@ object SparkEntry {
         |  FROM events GROUP BY 1
         |)
         |SELECT c.user_id, c.event_id, d.u_total_c
-        |FROM clicks c JOIN dim d USING (user_id)""".stripMargin)
+        |FROM clicks c JOIN dim d USING (user_id)""".stripMargin,
+
+    "q_rolling_counts" ->
+      """SELECT event_type, day, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cnt
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)""".stripMargin)
 }

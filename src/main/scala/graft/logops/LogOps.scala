@@ -170,6 +170,32 @@ object LogOps {
     withCum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Rolling event counts per entity over a trailing `windowDays`-day
+    * RANGE frame of integer epoch days — the gap-aware moving aggregate
+    * (a ROWS frame would silently stretch across missing days; RANGE on
+    * the integer day is the correct sparse-series semantics, identical in
+    * any engine).
+    *
+    * Shape at scale: raw volume collapses at the (entity, day)
+    * partial+final count; the RANGE window runs over the daily series
+    * (entities × days), never raw events.
+    */
+  def rollingDailyCounts(
+      events: DataFrame,
+      windowDays: Int,
+      entityCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val daily = events
+      .groupBy(col(entityCol),
+        floor(unix_micros(col(tsCol).cast("timestamp")) / 86400000000.0)
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val trail = Window.partitionBy(col(entityCol)).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily.withColumn("rolling_cnt", sum(col("cnt")).over(trail))
+  }
+
   /** Cohort retention: users are cohorted by their FIRST active day; each
     * (cohort_day, day_offset) cell counts the distinct cohort members
     * active again `day_offset` days later — the standard retention

@@ -151,6 +151,22 @@ class LogOpsSpec extends AnyFunSuite {
     assert((d3.getLong(8), d3.getLong(9)) === ((0L, 0L)))
   }
 
+  test("rollingDailyCounts: RANGE frame excludes days beyond the window across gaps") {
+    val day = 86400L
+    // days 0 (2 events), 1 (1), 9 (1): a ROWS-frame would count day 0/1
+    // into day 9's 3-day window; RANGE must not
+    val events = ev(Seq(
+      (1L, 1L, 10L, 0.0), (2L, 2L, 20L, 0.0),
+      (3L, 1L, day + 5L, 0.0),
+      (4L, 1L, 9 * day + 1L, 0.0)))
+    val out = LogOps.rollingDailyCounts(events, windowDays = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      0L -> (2L, 2L),
+      1L -> (1L, 3L),  // covers days -1..1 → 2+1
+      9L -> (1L, 1L))) // days 7..9: the gap excludes everything earlier
+  }
+
   test("retention: first-day cohorts, distinct per offset, multi-day activity") {
     val day = 86400L
     val events = ev(Seq(
