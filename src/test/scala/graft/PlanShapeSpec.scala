@@ -216,6 +216,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // clustered distribution — a second exchange is a plan regression
     assert(shuffles.length == 1,
       s"expected exactly 1 shuffle:\n${out.queryExecution.executedPlan}")
+    // column pruning reaches the scan: the real events table carries
+    // payload columns (props, event_type) that sessionize never touches —
+    // a scan reading them at 100 TB is wrong even if values are right
+    val real = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val scanStr = executedNodes(graft.logops.LogOps.sessionize(real, 1800))
+      .filter(_.nodeName.toLowerCase.contains("scan")).map(_.toString).mkString("\n")
+    assert(scanStr.contains("ReadSchema") && !scanStr.contains("props") &&
+      !scanStr.contains("event_type"),
+      s"payload columns must be pruned from the sessionize scan:\n$scanStr")
   }
 
   test("exactQuantiles windows only the histogram: raw rows feed a partial+final agg first") {
