@@ -795,7 +795,12 @@ object SparkEntry {
     // gap-aware rolling counts: 7-day RANGE frame over integer epoch days
     // (a ROWS frame would stretch across missing days)
     "q_rolling_counts" -> ((s, dir) =>
-      LogOps.rollingDailyCounts(events(s, dir), windowDays = 7)))
+      LogOps.rollingDailyCounts(events(s, dir), windowDays = 7)),
+
+    // collocation mining: top pairs by lift (the PMI order, log-free —
+    // one IEEE division of exact integer counts, identical cross-engine)
+    "q_collocations" -> ((s, dir) =>
+      CorpusStats.collocations(docs(s, dir), minCount = 5, k = 20)))
 
   // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------
 
@@ -1874,5 +1879,30 @@ object SparkEntry {
         |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
         |    count(*) AS cnt
         |  FROM events GROUP BY 1, 2
-        |)""".stripMargin)
+        |)""".stripMargin,
+
+    "q_collocations" ->
+      """WITH w AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE trim(text) <> ''
+        |), pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[CAST(i AS INT)])) AS w1,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[CAST(i AS INT) + 1])) AS w2
+        |  FROM w
+        |), cxy AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+        |), uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(ws) AS w FROM w
+        |  ) GROUP BY 1
+        |)
+        |SELECT p.w1, p.w2, p.c_xy, ux.c AS c_x, uy.c AS c_y
+        |FROM cxy p
+        |  JOIN uni ux ON p.w1 = ux.w
+        |  JOIN uni uy ON p.w2 = uy.w
+        |ORDER BY CAST(p.c_xy AS DOUBLE) / (ux.c * uy.c) DESC, p.w1, p.w2
+        |LIMIT 20""".stripMargin)
 }

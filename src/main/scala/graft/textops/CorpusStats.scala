@@ -98,6 +98,43 @@ object CorpusStats {
       .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"))
   }
 
+  /** Top-`k` collocations (adjacent word pairs) by LIFT — the PMI ranking
+    * without PMI's float logarithm: lift = P(xy)/(P(x)·P(y)) =
+    * c_xy·N/(c_x·c_y), and since N is a positive constant the order is
+    * c_xy/(c_x·c_y) — ONE IEEE division of exact small integers, bitwise
+    * identical in any engine (the counts are also emitted, so the score is
+    * reconstructible). `minCount` suppresses the classic lift pathology
+    * (two hapax words adjacent once score maximal lift).
+    *
+    * Shape at scale: bigram and unigram counts are partial+final
+    * aggregates; the two count joins are vocab-sized (AQE broadcasts when
+    * they fit); the global top-k is `orderBy(...).limit(k)` — Spark plans
+    * TakeOrderedAndProject, a bounded per-partition heap + driver merge of
+    * ≤ k rows per partition, never a full sort.
+    */
+  def collocations(docs: DataFrame, minCount: Long, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && minCount > 0, s"need k > 0 and minCount > 0, got k=$k minCount=$minCount")
+    val ws = TextFunctions.words(col("text"))
+    val pairs = docs
+      .where(length(trim(col("text"))) > 0)
+      .select(explode(when(size(ws) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cXY = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val uni = docs.where(length(trim(col("text"))) > 0)
+      .select(explode(ws).as("w")).groupBy(col("w")).agg(count(lit(1)).as("c"))
+    cXY
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .orderBy((col("c_xy").cast("double") / (col("c_x") * col("c_y"))).desc,
+        col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"))
+  }
+
   /** Top-`k` frequent terms per group via the bounded Misra-Gries summary
     * ([[graft.expressions.HeavyHittersAgg]], `m` counters): the top-talkers
     * query whose state does NOT scale with vocabulary. `groupBy(term)`

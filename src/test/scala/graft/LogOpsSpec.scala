@@ -270,6 +270,26 @@ class LogOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("collocations: lift order, minCount gate, k cap") {
+    // "a b" occurs 3x and a/b occur only in it → lift 3/(3*3) = 1/3
+    // "c d" occurs 2x, c 4x, d 2x → lift 2/8 = 1/4 → ranks below "a b"
+    // "c c" occurs 2x (within the c-run) but c is common → lowest
+    // "e f" occurs once → killed by minCount=2
+    val docs = Seq(
+      (1L, "a b x a b y a b"),
+      (2L, "c d z c d"),
+      (3L, "c c c"), // bigrams: "c c" x2
+      (4L, "e f")).toDF("doc_id", "text")
+    val out = CorpusStats.collocations(docs, minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 3)
+    assert(out(0) === (("a", "b", 3L, 3L, 3L)))
+    // lift: cd = 2/(5·2) = 0.2, cc = 2/(5·5) = 0.08 → cd before cc
+    assert(out(1) === (("c", "d", 2L, 5L, 2L)))
+    assert(out(2)._2 == "c")
+    assert(!out.exists(t => t._1 == "e"), "minCount must gate hapax pairs")
+  }
+
   test("salientTerms: tf desc, df asc, term asc; k cap") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),
