@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.logops.LogOps
 import graft.multimodal.Multimodal
 import graft.parse.Grok
-import graft.textops.{CorpusStats, Sampling, TextFunctions}
+import graft.textops.{CorpusStats, Packing, Sampling, TextFunctions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -800,7 +800,35 @@ object SparkEntry {
     // collocation mining: top pairs by lift (the PMI order, log-free —
     // one IEEE division of exact integer counts, identical cross-engine)
     "q_collocations" -> ((s, dir) =>
-      CorpusStats.collocations(docs(s, dir), minCount = 5, k = 20)))
+      CorpusStats.collocations(docs(s, dir), minCount = 5, k = 20)),
+
+    // Markov transition edges over per-user event order ((ts, event_id)
+    // total order) + exact ppm share of each source type — one keyed
+    // exchange, then the window runs over the type×type edge list only
+    "q_transitions" -> ((s, dir) => LogOps.transitions(events(s, dir))),
+
+    // sequence packing: per-shard concat-and-chunk layout into 512-token
+    // training sequences (8 hash shards; exclusive prefix sum per shard)
+    "q_seq_pack" -> ((s, dir) =>
+      Packing.packSequences(docs(s, dir), budget = 512L, shards = 8)),
+
+    // domain-mixture sampling: curated sources kept, crawl-weight sources
+    // deterministically downsampled by md5 bucket threshold (shuffle-free)
+    "q_mix_sample" -> ((s, dir) =>
+      Sampling.mixSample(docs(s, dir), "source", "doc_id",
+        rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.125),
+        defaultRate = 0.25, salt = "mix")
+        .select(col("doc_id"), col("source"), col("lang"))),
+
+    // bounded-state sampled quantiles: exact quantiles of a deterministic
+    // 101-per-type md5 bottom-k sample (KMinStringsAgg election +
+    // broadcast join-back) — the high-cardinality-domain quantile shape
+    "q_approx_quantiles" -> ((s, dir) =>
+      LogOps.sampledQuantiles(
+        events(s, dir).withColumn("value_c", round(col("value") * 100).cast("long")),
+        "event_type", "value_c", "event_id", k = 101,
+        Seq(("p50_c", 1, 2), ("p90_c", 9, 10), ("p99_c", 99, 100)),
+        salt = "aq")))
 
   // ---- DuckDB oracle building blocks for the md5/plane-based sketches ------
 
@@ -1904,5 +1932,75 @@ object SparkEntry {
         |  JOIN uni ux ON p.w1 = ux.w
         |  JOIN uni uy ON p.w2 = uy.w
         |ORDER BY CAST(p.c_xy AS DOUBLE) / (ux.c * uy.c) DESC, p.w1, p.w2
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+
+    "q_transitions" ->
+      """SELECT from_type, to_type, n,
+        |  CAST(n * 1000000 // src_n AS BIGINT) AS share_ppm
+        |FROM (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT) AS src_n
+        |  FROM (
+        |    SELECT event_type AS from_type,
+        |      lead(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |    FROM events
+        |  ) WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)""".stripMargin,
+
+    "q_seq_pack" ->
+      """SELECT doc_id, shard, n_tokens, start_off,
+        |  CAST(start_off // 512 AS BIGINT) AS pack_id
+        |FROM (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM (
+        |    SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |      CAST(len(__WORDS__) AS BIGINT) AS n_tokens
+        |    FROM documents
+        |  )
+        |)""".stripMargin.replace("__WORDS__", duckWords),
+
+    "q_mix_sample" -> {
+      // thresholds mirror Sampling.mixSample: floor(rate · 65536), keyed
+      // on the md5 bucket of 'mix:doc_id'
+      s"""SELECT doc_id, source, lang
+         |FROM (
+         |  SELECT doc_id, source, lang, ${duckHexPrefix(4)} AS b
+         |  FROM (SELECT doc_id, source, lang,
+         |        md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+         |        FROM documents)
+         |)
+         |WHERE b < CASE source
+         |  WHEN 'src0' THEN 65536 WHEN 'src1' THEN 49152
+         |  WHEN 'src2' THEN 32768 WHEN 'src3' THEN 8192
+         |  ELSE 16384 END""".stripMargin
+    },
+
+    "q_approx_quantiles" ->
+      """WITH samp AS (
+        |  SELECT event_type, v FROM (
+        |    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY md5('aq:' || CAST(event_id AS VARCHAR)),
+        |                 CAST(event_id AS VARCHAR)) AS rk
+        |    FROM events
+        |  ) WHERE rk <= 101
+        |)
+        |SELECT event_type, max(n) AS n,
+        |  min(CASE WHEN cum >= ((n - 1) * 1) // 2 + 1 THEN v END) AS p50_c,
+        |  min(CASE WHEN cum >= ((n - 1) * 9) // 10 + 1 THEN v END) AS p90_c,
+        |  min(CASE WHEN cum >= ((n - 1) * 99) // 100 + 1 THEN v END) AS p99_c
+        |FROM (
+        |  SELECT event_type, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT event_type, v, count(*) AS c FROM samp GROUP BY 1, 2
+        |  )
+        |) GROUP BY 1""".stripMargin)
 }

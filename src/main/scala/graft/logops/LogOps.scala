@@ -335,4 +335,69 @@ object LogOps {
       .where(col("__side") === 1)
       .drop("__side", "__ts", "__dim")
   }
+
+  /** Bounded-state approximate quantiles: exact discrete quantiles of a
+    * deterministic k-per-group uniform sample — the 100 TB answer when
+    * even the [[exactQuantiles]] two-level histogram is too wide (a
+    * high-cardinality value domain keeps the histogram near raw size).
+    *
+    * The sample is [[graft.textops.Sampling.quotaSample]]'s bottom-k by
+    * md5(salt:id): uniform without replacement per group, reproducible
+    * across runs/engines/retries, and elected by the bounded
+    * KMinStringsAgg (state ≤ k per group on both sides of the shuffle).
+    * The sampled ids join back to their values via a BROADCAST join (k
+    * rows per group — trivially broadcastable), then the exact-quantile
+    * plan runs over ≤ k·groups rows. Every step is deterministic, so the
+    * DuckDB oracle reproduces the answer exactly — the "approximation" is
+    * statistical (sample vs population), never numeric.
+    */
+  def sampledQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      idCol: String,
+      k: Int,
+      quantiles: Seq[(String, Int, Int)],
+      salt: String = "graft"): DataFrame = {
+    val sample = graft.textops.Sampling
+      .quotaSample(df.select(col(keyCol), col(idCol)), keyCol, idCol, k, salt)
+      .select(col(keyCol), col("sample_key"))
+    val joined = df
+      .select(col(keyCol), col(idCol).cast("string").as("sample_key"), col(valueCol))
+      .join(broadcast(sample), Seq(keyCol, "sample_key"))
+    exactQuantiles(joined, keyCol, valueCol, quantiles)
+  }
+
+  /** First-order event-type transition counts (the Markov edge list over
+    * per-user event sequences): each user's stream is ordered by
+    * (ts, idCol) — the id tiebreak makes simultaneous events a total,
+    * engine-independent order — and every consecutive (type → next type)
+    * pair is counted globally, plus per-edge share of its source type in
+    * exact ppm (integer floor division, identical cross-engine).
+    *
+    * Shape at scale: ONE exchange on the user key feeds the lead() window
+    * (O(1) frame, no buffering beyond the sort); raw volume then collapses
+    * at a partial+final (from, to) count, and the ppm share rides a window
+    * over the TYPE×TYPE edge list — dozens of rows, never the corpus.
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val seq = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val edges = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(seq))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val bySrc = Window.partitionBy(col("from_type"))
+    edges
+      .withColumn("__src_n", sum(col("n")).over(bySrc))
+      // `div` is exact long division (≡ DuckDB's `//`) — no IEEE rounding
+      .withColumn("share_ppm", expr("n * 1000000L div __src_n"))
+      .drop("__src_n")
+  }
 }

@@ -88,4 +88,36 @@ object Sampling {
         // at char 34 — position-based, safe for keys containing ":"
         substring(col("w"), 34, Int.MaxValue).as("sample_key"))
   }
+
+  /** Deterministic domain-mixture downsampling: each row is kept with its
+    * group's rate (e.g. source/domain → fraction), decided purely by
+    * md5(salt ":" key) — the mixture-reweighting pass every training
+    * pipeline runs (upsample curated domains, downsample crawl), with the
+    * same retry/engine/run stability argument as [[hashSplit]].
+    *
+    * Rates are applied as integer bucket thresholds (floor(rate · 65536)
+    * over the [[hashBucket]] space) so the decision boundary is exact and
+    * the oracle mirrors it bit-for-bit. A group absent from `rates` gets
+    * `defaultRate`. Shuffle-free narrow projection + filter: survives any
+    * scale, and because the hash is keyed on the ROW key (not the group),
+    * per-group survivor counts are binomial around rate·n with no
+    * coordination.
+    */
+  def mixSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = "graft"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach { r =>
+      require(r >= 0 && r <= 1, s"mixSample rates must be in [0,1], got $r")
+    }
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(math.floor(defaultRate * 65536).toInt): Column) {
+        case ((g, r), acc) =>
+          when(col(groupCol) === g, lit(math.floor(r * 65536).toInt)).otherwise(acc)
+      }
+    df.where(hashBucket(col(keyCol), salt) < threshold)
+  }
 }

@@ -305,4 +305,58 @@ class LogOpsSpec extends AnyFunSuite {
     assert(out((3L, 2L)) === (("cherry", 1L, 3L)))
     assert(out.size === 6)
   }
+
+  test("transitions: per-user edges, id tiebreak on ties, exact ppm shares") {
+    // user 1: a→b→a (ts order); user 2: a→b via event_id tiebreak at equal ts
+    val events = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 10L, "b"), (3L, 1L, 20L, "a"),
+      (4L, 2L, 5L, "a"), (5L, 2L, 5L, "b"), // same ts: event_id orders a before b
+      (6L, 3L, 0L, "c")) // single event: no edge
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", timestamp_seconds(col("ts_s")).cast("timestamp_ntz"))
+      .drop("ts_s")
+    val out = LogOps.transitions(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // edges: a→b ×2 (users 1, 2), b→a ×1 (user 1); c contributes nothing
+    assert(out.size === 2)
+    assert(out(("a", "b")) === ((2L, 1000000L))) // only a-edge: share 100%
+    assert(out(("b", "a")) === ((1L, 1000000L)))
+    // ppm shares split exactly when a source fans out
+    val fan = Seq(
+      (1L, 1L, 0L, "x"), (2L, 1L, 1L, "y"), (3L, 1L, 2L, "x"), (4L, 1L, 3L, "z"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", timestamp_seconds(col("ts_s")).cast("timestamp_ntz"))
+      .drop("ts_s")
+    val f = LogOps.transitions(fan)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // x fans to y and z once each: floor(1/2 · 1e6) = 500000 both
+    assert(f(("x", "y")) === 500000L && f(("x", "z")) === 500000L)
+    assert(f(("y", "x")) === 1000000L)
+  }
+
+  test("sampledQuantiles: sample-exact quantiles, bounded and deterministic") {
+    // values 0..999 under one key; the md5 sample is a fixed subset, so the
+    // quantiles of the SAMPLE must be reproduced exactly on a re-run
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("k", lit("g"))
+      .withColumn("v", col("id"))
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10))
+    val once = LogOps.sampledQuantiles(df, "k", "v", "id", k = 101, qs).collect()
+    val again = LogOps.sampledQuantiles(df, "k", "v", "id", k = 101, qs).collect()
+    assert(once.toSeq === again.toSeq)
+    val r = once.head
+    assert(r.getAs[Long]("n") === 101L) // exactly k rows survive per group
+    // a uniform 101-sample of 0..999: p50 within ±150 of 500, p90 near 900
+    val p50 = r.getAs[Long]("p50"); val p90 = r.getAs[Long]("p90")
+    assert(math.abs(p50 - 500L) < 150, s"p50=$p50")
+    assert(math.abs(p90 - 900L) < 100, s"p90=$p90")
+    // k ≥ group size degenerates to the exact quantiles
+    val small = spark.range(0, 50).toDF("id")
+      .withColumn("k", lit("g")).withColumn("v", col("id"))
+    val exact = LogOps.sampledQuantiles(small, "k", "v", "id", k = 101, qs)
+      .collect().head
+    assert(exact.getAs[Long]("n") === 50L)
+    assert(exact.getAs[Long]("p50") === LogOps.exactQuantiles(small, "k", "v", qs)
+      .collect().head.getAs[Long]("p50"))
+  }
 }

@@ -549,6 +549,59 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan
     assert(!plan.exists(_.isInstanceOf[ShuffleExchangeLike]))
   }
+
+  test("mix sample: per-group rates, determinism, rate-1 keeps all, rate-0 drops all") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 8000).toDF("id")
+      .withColumn("grp", concat(lit("g"), pmod(col("id"), lit(4))))
+    val out = Sampling.mixSample(df, "grp", "id",
+      rates = Map("g0" -> 1.0, "g1" -> 0.0, "g2" -> 0.5), defaultRate = 0.25)
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("g0") == 2000L)             // rate 1.0: every row
+    assert(!counts.contains("g1"))            // rate 0.0: none
+    assert(math.abs(counts("g2") - 1000L) < 120, counts.toString)  // ~0.5
+    assert(math.abs(counts("g3") - 500L) < 90, counts.toString)    // default 0.25
+    // deterministic: same survivors on re-run; salt re-rolls the decision
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixSample(df, "grp", "id",
+      rates = Map("g0" -> 1.0, "g1" -> 0.0, "g2" -> 0.5), defaultRate = 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val c = Sampling.mixSample(df, "grp", "id",
+      rates = Map("g0" -> 1.0, "g1" -> 0.0, "g2" -> 0.5), defaultRate = 0.25,
+      salt = "other").select("id").collect().map(_.getLong(0)).toSet
+    assert(a != c)
+    // rejects out-of-range rates; stays shuffle-free
+    assertThrows[IllegalArgumentException](
+      Sampling.mixSample(df, "grp", "id", Map("g0" -> 1.5), 0.5))
+    assert(!out.queryExecution.executedPlan.exists(_.isInstanceOf[ShuffleExchangeLike]))
+  }
+
+  test("sequence packing: exclusive prefix offsets, shard independence, straddle") {
+    import graft.textops.Packing
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2 shards (ids mod 2); shard 0: docs 0(3 tok),2(4),4(2); shard 1: 1(5),3(1)
+    val docs = Seq(
+      (0L, "a b c"), (1L, "p q r s t"), (2L, "d e f g"),
+      (3L, "u"), (4L, "h i")).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, budget = 5L, shards = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((0L, 3L, 0L, 0L)))  // shard 0 starts at offset 0
+    assert(out(2L) == ((0L, 4L, 3L, 0L)))  // starts inside pack 0, straddles into 1
+    assert(out(4L) == ((0L, 2L, 7L, 1L)))  // 7 div 5 = pack 1
+    assert(out(1L) == ((1L, 5L, 0L, 0L)))  // shard 1 is an independent stream
+    assert(out(3L) == ((1L, 1L, 5L, 1L)))  // exactly at the boundary → next pack
+    // empty text costs zero tokens and does not advance the offset
+    val withEmpty = Seq((0L, ""), (2L, "x y")).toDF("doc_id", "text")
+    val e = Packing.packSequences(withEmpty, budget = 5L, shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(e(0L) == 0L && e(2L) == 0L)
+    assertThrows[IllegalArgumentException](Packing.packSequences(docs, 0L, 2))
+    assertThrows[IllegalArgumentException](Packing.packSequences(docs, 5L, 0))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
