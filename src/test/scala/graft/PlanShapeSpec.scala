@@ -334,4 +334,63 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.toString.contains("collect_list")),
       "no unbounded gather in the sampling plan")
   }
+
+  test("packSequences: one shard shuffle; payload columns pruned from the scan") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"w$i x y")).toDF("doc_id", "text")
+    val out = graft.textops.Packing.packSequences(docs, budget = 64L, shards = 8)
+    val shuffles = executedNodes(out).collect { case s: ShuffleExchangeLike => s }
+    // the exclusive prefix-sum window runs entirely on the shard
+    // partitioning — a second exchange is a plan regression
+    assert(shuffles.length == 1,
+      s"expected exactly 1 shuffle:\n${out.queryExecution.executedPlan}")
+    // packing touches only (doc_id, text); lang/source/n_chars must be
+    // pruned from a real documents scan — reading them at 100 TB is wrong
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scanStr = executedNodes(
+      graft.textops.Packing.packSequences(real, budget = 512L, shards = 8))
+      .filter(_.nodeName.toLowerCase.contains("scan")).map(_.toString).mkString("\n")
+    assert(scanStr.contains("ReadSchema") && !scanStr.contains("lang") &&
+      !scanStr.contains("source") && !scanStr.contains("n_chars"),
+      s"payload columns must be pruned from the packing scan:\n$scanStr")
+  }
+
+  test("transitions: raw rows collapse at a partial+final edge count; share window sees edges only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.timestamp_seconds
+    import spark.implicits._
+    val events = (1L to 2000L).map(i => (i, i % 13, i * 7, s"t${i % 4}"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+    val out = graft.logops.LogOps.transitions(events)
+    val nodes = executedNodes(out)
+    // user exchange (lead window) → (from,to) partial+final count →
+    // from_type exchange (share window): three shuffles, each one strictly
+    // smaller than the last — and the count must combine map-side
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.length == 3,
+      s"expected 3 shrinking shuffles:\n${out.queryExecution.executedPlan}")
+    assert(nodes.exists(_.toString.contains("partial_count")),
+      s"edge count must combine map-side:\n${out.queryExecution.executedPlan}")
+    // the ppm-share window partitions on the bare from_type (it runs over
+    // the aggregated edge list); the lead window on (user). No window may
+    // partition on more than one column — that would signal a plan where
+    // the share rides raw-event partitioning
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.size == 2 && windows.forall(_.partitionSpec.length == 1),
+      s"expected lead + share windows on single-column partitionings:\n${out.queryExecution.executedPlan}")
+  }
+
+  test("sampledQuantiles joins the sample back by BROADCAST, never sort-merge") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, s"k${i % 3}", i % 100))
+      .toDF("id", "k", "v")
+    val out = graft.logops.LogOps.sampledQuantiles(df, "k", "v", "id", k = 50,
+      Seq(("p50", 1, 2)))
+    val nodes = executedNodes(out)
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"sample join-back must broadcast the k·groups sample:\n${out.queryExecution.executedPlan}")
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "a sort-merge join here would shuffle the full corpus on the sample key")
+  }
 }
