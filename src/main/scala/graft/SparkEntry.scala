@@ -443,6 +443,13 @@ object SparkEntry {
         .select("lang", "word", "n", "rank")
     }),
 
+    // bounded inverted-index postings: per term df/cf + top-5 postings by
+    // (tf desc, doc_id asc). The postings heap is the TopKPairsAgg bounded
+    // aggregate — <= k entries per (term, task) cross the wire, so a
+    // billion-document stopword posting list never materializes
+    "q_inverted_index" -> ((s, dir) =>
+      graft.textops.CorpusStats.invertedIndex(docs(s, dir), k = 5)),
+
     // KMV distinct-count sketch per language: bounded mergeable state
     // (k smallest md5s), deterministic estimate the oracle recomputes
     // exactly — the cross-engine-verifiable alternative to HLL
@@ -1468,6 +1475,22 @@ object SparkEntry {
         |    GROUP BY 1, 2
         |  )
         |) WHERE rank <= 10""".stripMargin.replace("__WORDS__", duckWords),
+
+    "q_inverted_index" ->
+      """WITH tfs AS (
+        |  SELECT term, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(__WORDS__) AS term FROM documents)
+        |  GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tfs GROUP BY 1
+        |), ranked AS (
+        |  SELECT term, doc_id, tf,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rank
+        |  FROM tfs
+        |)
+        |SELECT r.term, s.df, s.cf, r.rank, r.doc_id, r.tf
+        |FROM ranked r JOIN stats s ON r.term = s.term
+        |WHERE r.rank <= 5""".stripMargin.replace("__WORDS__", duckWords),
 
     "q_kmv_distinct" -> {
       val k = 64

@@ -149,6 +149,43 @@ object CorpusStats {
     * term with true count above that bound is guaranteed present
     * (property-tested against exact counts).
     */
+  /** Bounded inverted-index postings: per term, the document frequency
+    * `df`, collection frequency `cf`, and the top-`k` postings
+    * (doc_id, tf) ranked by (tf desc, doc_id asc) — the retrieval-side
+    * artifact a curation pipeline builds to answer "which documents carry
+    * this term" without re-scanning the corpus.
+    *
+    * Shape at scale: one tokenizing explode, then TWO partial+final
+    * aggregates — (term, doc) → tf, then (term) → {df, cf, postings}.
+    * The postings list is [[graft.expressions.TopKPairsAgg]], a bounded
+    * k-element heap per (term, map partition): only ≤ k serialized
+    * entries per term per task ever cross the wire, so a stopword whose
+    * TRUE postings list is a billion documents still ships k×P rows —
+    * the same reason the ANN top-k avoids a window over the corpus. A
+    * `collect_list`-then-slice formulation would gather the full postings
+    * list into one executor buffer and die exactly on those hot terms.
+    * `minDf` prunes hapax noise AFTER aggregation (a plain filter on the
+    * aggregated frame — no extra pass).
+    */
+  def invertedIndex(docs: DataFrame, k: Int, minDf: Long = 1L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && minDf >= 1, s"need k > 0 and minDf >= 1, got k=$k minDf=$minDf")
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        graft.expressions.TopKPairsAgg(col("tf"), col("doc_id"), k).as("post"))
+      .where(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"),
+        posexplode(col("post")).as(Seq("pos", "p")))
+      .select(col("term"), col("df"), col("cf"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("p.neighbor_id").as("doc_id"), col("p.sim_ppm").as("tf"))
+  }
+
   def heavyTerms(docs: DataFrame, groupCol: String, m: Int, k: Int): DataFrame = {
     require(k > 0 && k <= m, s"need 0 < k <= m, got k=$k m=$m")
     val summary = docs

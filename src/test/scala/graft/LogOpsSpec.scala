@@ -306,6 +306,26 @@ class LogOpsSpec extends AnyFunSuite {
     assert(out.size === 6)
   }
 
+  test("invertedIndex: df/cf exact, postings capped at k, tf desc doc asc order") {
+    val docs = Seq(
+      (1L, "x x x y"),
+      (2L, "x x y y"),
+      (3L, "x y z"),
+      (4L, "x")).toDF("doc_id", "text")
+    val out = CorpusStats.invertedIndex(docs, k = 2, minDf = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    // x: df 4, cf 3+2+1+1=7; top-2 postings tf desc doc asc → (1,3),(2,2)
+    assert(out(("x", 1L)) === ((4L, 7L, 1L, 3L)))
+    assert(out(("x", 2L)) === ((4L, 7L, 2L, 2L)))
+    // y: df 3, cf 1+2+1=4; tf tie between docs 1 and 3 → doc asc after doc 2
+    assert(out(("y", 1L)) === ((3L, 4L, 2L, 2L)))
+    assert(out(("y", 2L)) === ((3L, 4L, 1L, 1L)))
+    // z is hapax (df 1) → pruned by minDf = 2; k caps x at 2 postings
+    assert(out.size === 4)
+  }
+
   test("transitions: per-user edges, id tiebreak on ties, exact ppm shares") {
     // user 1: a→b→a (ts order); user 2: a→b via event_id tiebreak at equal ts
     val events = Seq(
