@@ -814,6 +814,28 @@ object SparkEntry {
     // exchange, then the window runs over the type×type edge list only
     "q_transitions" -> ((s, dir) => LogOps.transitions(events(s, dir))),
 
+    // incident-correlation interval join: hourly counts >= 7 define per-type
+    // incident windows [h-30min, h+90min); every event is tagged with the
+    // windows covering it via the bucketized equi-join (30-min buckets →
+    // each 2h window replicates to <= 5 buckets, each event to exactly 1;
+    // no theta-join, no per-key cross product, no post-join dedup)
+    "q_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val windows = events(s, dir)
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts")).cast("timestamp")).as("h_us"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 7)
+        .select(col("event_type"), col("h_us").as("win_id"),
+          (col("h_us") - 1800000000L).as("start_us"),
+          (col("h_us") + 5400000000L).as("end_us"))
+      LogOps.intervalJoin(ev, windows, bucketUs = 1800000000L)
+        .groupBy(col("event_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_win"), min(col("win_id")).as("first_win_us"))
+    }),
+
     // sequence packing: per-shard concat-and-chunk layout into 512-token
     // training sequences (8 hash shards; exclusive prefix sum per shard)
     "q_seq_pack" -> ((s, dir) =>
@@ -1970,6 +1992,23 @@ object SparkEntry {
         |    FROM events
         |  ) WHERE to_type IS NOT NULL GROUP BY 1, 2
         |)""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH wins AS (
+        |  SELECT event_type, epoch_us(h) AS win_id,
+        |    epoch_us(h) - 1800000000 AS start_us,
+        |    epoch_us(h) + 5400000000 AS end_us
+        |  FROM (
+        |    SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |    FROM events GROUP BY 1, 2
+        |  ) WHERE n >= 7
+        |)
+        |SELECT e.event_id, e.event_type,
+        |  count(*) AS n_win, min(w.win_id) AS first_win_us
+        |FROM events e
+        |JOIN wins w ON e.event_type = w.event_type
+        |  AND epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_seq_pack" ->
       """SELECT doc_id, shard, n_tokens, start_off,

@@ -368,6 +368,53 @@ object LogOps {
     exactQuantiles(joined, keyCol, valueCol, quantiles)
   }
 
+  /** Interval (range) join re-expressed as a bucketized EQUI-join — the
+    * published technique for making "point in [start, end)" joins scale
+    * (Spark's optimizer ships it as the range-join hint; Flink's interval
+    * join is the same shape). A naive θ-join on
+    * `key = key AND start <= ts AND ts < end` gives Spark an equi-key plus
+    * range residual: every event of a key meets every window of that key
+    * inside one sort-merge task — O(events × windows) per hot key, the
+    * exact blow-up that kills incident-correlation joins at 100 TB.
+    *
+    * Here each WINDOW is exploded to the fixed time buckets it covers
+    * (`span/bucketUs + 1` replicas — choose `bucketUs` near the typical
+    * span so replication stays O(1)) while each EVENT maps to exactly ONE
+    * bucket, and the join key becomes `(key, bucket)`. Only pairs sharing
+    * a bucket are ever compared, the shuffle is a plain hash exchange, and
+    * because the event side has a single bucket per row, a matching
+    * (event, window) pair meets in exactly one bucket — no post-join
+    * dedup, no duplicate rows by construction.
+    *
+    * `events` needs (`keyCol`, `tsUsCol`: long micros); `windows` needs
+    * (`keyCol`, `winIdCol`, `startUsCol`, `endUsCol`) with `endUsCol`
+    * EXCLUSIVE. Returns the inner join: every event row paired with each
+    * covering window's id. All bucket arithmetic is integral `div` — no
+    * IEEE floor on epoch micros.
+    */
+  def intervalJoin(
+      events: DataFrame,
+      windows: DataFrame,
+      bucketUs: Long,
+      keyCol: String = "event_type",
+      tsUsCol: String = "ts_us",
+      winIdCol: String = "win_id",
+      startUsCol: String = "start_us",
+      endUsCol: String = "end_us"): DataFrame = {
+    require(bucketUs > 0, s"intervalJoin bucketUs must be positive, got $bucketUs")
+    val wb = windows
+      .where(col(endUsCol) > col(startUsCol)) // empty windows match nothing
+      .select(col(keyCol), col(winIdCol), col(startUsCol), col(endUsCol),
+        explode(sequence(
+          expr(s"$startUsCol div ${bucketUs}L"),
+          expr(s"($endUsCol - 1) div ${bucketUs}L"))).as("__bucket"))
+    events
+      .withColumn("__bucket", expr(s"$tsUsCol div ${bucketUs}L"))
+      .join(wb, Seq(keyCol, "__bucket"))
+      .where(col(tsUsCol) >= col(startUsCol) && col(tsUsCol) < col(endUsCol))
+      .drop("__bucket", startUsCol, endUsCol)
+  }
+
   /** First-order event-type transition counts (the Markov edge list over
     * per-user event sequences): each user's stream is ordered by
     * (ts, idCol) — the id tiebreak makes simultaneous events a total,

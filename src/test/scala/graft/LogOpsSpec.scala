@@ -326,6 +326,31 @@ class LogOpsSpec extends AnyFunSuite {
     assert(out.size === 4)
   }
 
+  test("intervalJoin: [start, end) bounds, multi-bucket windows join once, empty windows dropped") {
+    val ev = Seq(
+      (1L, "a", 100L),  // inside w1 [100, 250)
+      (2L, "a", 249L),  // last inside w1 (end exclusive)
+      (3L, "a", 250L),  // AT end → outside w1
+      (4L, "a", 99L),   // just before start → outside
+      (5L, "b", 100L),  // wrong key
+      (6L, "a", 210L))  // inside w1 AND w2 [200, 260)
+      .toDF("event_id", "event_type", "ts_us")
+    val wins = Seq(
+      ("a", 10L, 100L, 250L), // spans buckets 1..4 at bucketUs=64
+      ("a", 20L, 200L, 260L),
+      ("a", 30L, 300L, 300L), // empty: end == start, matches nothing
+      ("b", 40L, 500L, 600L))
+      .toDF("event_type", "win_id", "start_us", "end_us")
+    val out = LogOps.intervalJoin(ev, wins, bucketUs = 64L)
+      .collect().map(r => (r.getLong(r.fieldIndex("event_id")), r.getLong(r.fieldIndex("win_id"))))
+      .sorted
+    // events 2/3 pin end-exclusivity on w1 (ts 249 in, ts 250 out) while
+    // both land in w2 [200, 260); event 6 matches both windows but each
+    // pair appears EXACTLY once even though w1 spans 4 buckets (the event
+    // side has a single bucket)
+    assert(out === Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (6L, 10L), (6L, 20L)))
+  }
+
   test("transitions: per-user edges, id tiebreak on ties, exact ppm shares") {
     // user 1: a→b→a (ts order); user 2: a→b via event_id tiebreak at equal ts
     val events = Seq(

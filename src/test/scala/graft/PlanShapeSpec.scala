@@ -393,4 +393,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
       "a sort-merge join here would shuffle the full corpus on the sample key")
   }
+
+  test("intervalJoin plans an EQUI-join on (key, bucket): no nested-loop, no cartesian") {
+    import spark.implicits._
+    val ev = (1L to 5000L).map(i => (i, s"k${i % 4}", i * 1000L)).toDF("event_id", "event_type", "ts_us")
+    val wins = (1L to 200L).map(i => (s"k${i % 4}", i, i * 20000L, i * 20000L + 50000L))
+      .toDF("event_type", "win_id", "start_us", "end_us")
+    val out = graft.logops.LogOps.intervalJoin(ev, wins, bucketUs = 50000L)
+    val nodes = executedNodes(out)
+    assert(!nodes.exists(n => n.nodeName.contains("BroadcastNestedLoopJoin") ||
+        n.nodeName.contains("CartesianProduct")),
+      s"range residual must ride an equi-join, not a theta-join:\n${out.queryExecution.executedPlan}")
+    assert(nodes.exists(n => n.nodeName.contains("HashJoin") || n.nodeName.contains("SortMergeJoin")),
+      "expected a hash/sort-merge equi-join on (key, bucket)")
+  }
 }
