@@ -365,6 +365,15 @@ object SparkEntry {
         }) :+ TextFunctions.qualityScore(col("text")).as("quality"): _*)
     }),
 
+    // quality calibration: exact integer percentile rank of each doc's
+    // quality score — histogram + broadcast join-back, never a global sort
+    "q_quality_pctl" -> ((s, dir) =>
+      graft.textops.CorpusStats.percentileRanks(
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+        "quality")
+        .select(col("doc_id"), col("quality"), col("pctl_ppm"))),
+
     // text analysis: language ID heuristic
     "q_lang_id" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -813,6 +822,13 @@ object SparkEntry {
     // total order) + exact ppm share of each source type — one keyed
     // exchange, then the window runs over the type×type edge list only
     "q_transitions" -> ((s, dir) => LogOps.transitions(events(s, dir))),
+
+    // CDC latest-state compaction: per user the winning (ts, id)-max row
+    // via ONE partial+final max_by aggregate — no per-key sort of history
+    "q_latest_state" -> ((s, dir) =>
+      LogOps.latestState(
+        events(s, dir).withColumn("ts_us", unix_micros(col("ts").cast("timestamp"))),
+        payloadCols = Seq("event_type", "value"))),
 
     // incident-correlation interval join: hourly counts >= 7 define per-type
     // incident windows [h-30min, h+90min); every event is tagged with the
@@ -1514,6 +1530,17 @@ object SparkEntry {
         |FROM ranked r JOIN stats s ON r.term = s.term
         |WHERE r.rank <= 5""".stripMargin.replace("__WORDS__", duckWords),
 
+    "q_quality_pctl" ->
+      s"""SELECT doc_id, quality,
+         |  CAST(CASE WHEN n > 1 THEN below * 1000000 // (n - 1)
+         |            ELSE 0 END AS BIGINT) AS pctl_ppm
+         |FROM (
+         |  SELECT doc_id, quality,
+         |    rank() OVER (ORDER BY quality) - 1 AS below,
+         |    count(*) OVER () AS n
+         |  FROM $duckQualitySub q
+         |)""".stripMargin,
+
     "q_kmv_distinct" -> {
       val k = 64
       // value of the first 13 hex chars (52 bits — exact in a double);
@@ -1992,6 +2019,17 @@ object SparkEntry {
         |    FROM events
         |  ) WHERE to_type IS NOT NULL GROUP BY 1, 2
         |)""".stripMargin,
+
+    "q_latest_state" ->
+      """SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+        |  event_type AS last_event_type, value AS last_value
+        |FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+        |    row_number() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
 
     "q_interval_join" ->
       """WITH wins AS (

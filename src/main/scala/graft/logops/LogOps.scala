@@ -368,6 +368,32 @@ object LogOps {
     exactQuantiles(joined, keyCol, valueCol, quantiles)
   }
 
+  /** Latest-record-wins compaction (the CDC/upsert "current state" view):
+    * per key, the payload of the row with the maximal (tsCol, idCol) —
+    * the unique-id tiebreak makes the winner total and engine-independent.
+    *
+    * Shape at scale: ONE partial+final `max_by(payload_struct, order_struct)`
+    * aggregate. Each map task keeps exactly one candidate row per key and
+    * ships only that — a hot entity with a billion updates contributes one
+    * struct per task to the shuffle. The textbook
+    * `row_number() OVER (PARTITION BY key ORDER BY ts DESC) = 1` plan
+    * shuffles and SORTS every update ever logged to elect the same single
+    * winner; at 100 TB that is the difference between a count-sized
+    * exchange and a corpus-sized sort.
+    */
+  def latestState(
+      events: DataFrame,
+      payloadCols: Seq[String],
+      keyCol: String = "user_id",
+      tsCol: String = "ts_us",
+      idCol: String = "event_id"): DataFrame = {
+    require(payloadCols.nonEmpty, "latestState needs at least one payload column")
+    val carried = (tsCol +: idCol +: payloadCols).distinct
+    val last = events.groupBy(col(keyCol))
+      .agg(max_by(struct(carried.map(col): _*), struct(col(tsCol), col(idCol))).as("__last"))
+    last.select(col(keyCol) +: carried.map(c => col(s"__last.$c").as(s"last_$c")): _*)
+  }
+
   /** Interval (range) join re-expressed as a bucketized EQUI-join — the
     * published technique for making "point in [start, end)" joins scale
     * (Spark's optimizer ships it as the range-join hint; Flink's interval

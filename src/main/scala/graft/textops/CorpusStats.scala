@@ -149,6 +149,35 @@ object CorpusStats {
     * term with true count above that bound is guaranteed present
     * (property-tested against exact counts).
     */
+  /** Percentile rank (exact, integer ppm) of every row's `valueCol` within
+    * the whole frame: `pctl_ppm = below * 10^6 div (N - 1)` where `below`
+    * counts rows STRICTLY smaller — SQL `percent_rank()` semantics (ties
+    * share the min rank) in exact integer arithmetic, so any engine
+    * reproduces it bit-for-bit. The quality-calibration primitive: "this
+    * document's quality score beats X% of the corpus".
+    *
+    * Shape at scale: `percent_rank() OVER (ORDER BY value)` would drag the
+    * ENTIRE corpus through one global sort in a single task — the worst
+    * window Spark can plan. Here the corpus collapses to its value
+    * HISTOGRAM first (partial+final count; domain-sized, e.g. quality
+    * scores have ~10^3 distinct ppm values), the running "strictly below"
+    * sum rides a window over that histogram only, and the per-value ranks
+    * broadcast-join back to the corpus — raw rows are never sorted,
+    * never shuffled beyond the count aggregate.
+    */
+  def percentileRanks(df: DataFrame, valueCol: String,
+      outCol: String = "pctl_ppm"): DataFrame = {
+    val w = Window.orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranks = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__below", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__total", sum(col("__n")).over(all))
+      .select(col(valueCol),
+        when(col("__total") > 1,
+          expr("__below * 1000000L div (__total - 1)")).otherwise(lit(0L)).as(outCol))
+    df.join(broadcast(ranks), Seq(valueCol))
+  }
+
   /** Bounded inverted-index postings: per term, the document frequency
     * `df`, collection frequency `cf`, and the top-`k` postings
     * (doc_id, tf) ranked by (tf desc, doc_id asc) — the retrieval-side

@@ -326,6 +326,35 @@ class LogOpsSpec extends AnyFunSuite {
     assert(out.size === 4)
   }
 
+  test("latestState: max (ts, id) wins, id breaks ts ties, one row per key") {
+    val ev = Seq(
+      (1L, 10L, 100L, "a", 1.0),
+      (2L, 10L, 300L, "b", 2.0), // latest ts for user 10
+      (3L, 10L, 200L, "c", 3.0),
+      (4L, 20L, 500L, "d", 4.0),
+      (5L, 20L, 500L, "e", 5.0)) // ts tie: larger event_id wins
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+    val out = LogOps.latestState(ev, payloadCols = Seq("event_type", "value"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))).toMap
+    assert(out(10L) === ((300L, 2L, "b", 2.0)))
+    assert(out(20L) === ((500L, 5L, "e", 5.0)))
+    assert(out.size === 2)
+  }
+
+  test("percentileRanks: strict-below ppm, ties share min rank, singleton is 0") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 7L), (4L, 9L), (5L, 9L)).toDF("id", "v")
+    val out = CorpusStats.percentileRanks(df, "v")
+      .collect().map(r => r.getLong(r.fieldIndex("id")) -> r.getLong(r.fieldIndex("pctl_ppm"))).toMap
+    // N-1 = 4: v=5 → 0 below; v=7 → 2 below → 500000; v=9 → 3 below → 750000
+    assert(out(1L) === 0L && out(2L) === 0L)
+    assert(out(3L) === 500000L)
+    assert(out(4L) === 750000L && out(5L) === 750000L)
+    val single = CorpusStats.percentileRanks(Seq((1L, 42L)).toDF("id", "v"), "v")
+      .collect().head.getLong(2)
+    assert(single === 0L, "N = 1 must not divide by zero")
+  }
+
   test("intervalJoin: [start, end) bounds, multi-bucket windows join once, empty windows dropped") {
     val ev = Seq(
       (1L, "a", 100L),  // inside w1 [100, 250)

@@ -394,6 +394,29 @@ class PlanShapeSpec extends AnyFunSuite {
       "a sort-merge join here would shuffle the full corpus on the sample key")
   }
 
+  test("latestState is ONE partial+final aggregate: no window, no per-key sort of history") {
+    import spark.implicits._
+    val ev = (1L to 4000L).map(i => (i, i % 7, i * 3L, s"t${i % 5}", i * 0.5))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+    val out = graft.logops.LogOps.latestState(ev, payloadCols = Seq("event_type", "value"))
+    val nodes = executedNodes(out)
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      s"latest-wins must be an argmax aggregate, not a ranking window:\n${out.queryExecution.executedPlan}")
+    assert(nodes.count(_.nodeName.contains("Exchange")) <= 1,
+      "latestState should exchange once (the final aggregate)")
+  }
+
+  test("percentileRanks joins the histogram ranks back by BROADCAST; corpus is never globally sorted") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, i % 97)).toDF("id", "v")
+    val out = graft.textops.CorpusStats.percentileRanks(df, "v")
+    val nodes = executedNodes(out)
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"rank join-back must broadcast the value-domain histogram:\n${out.queryExecution.executedPlan}")
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "a sort-merge join-back would shuffle the full corpus on the value")
+  }
+
   test("intervalJoin plans an EQUI-join on (key, bucket): no nested-loop, no cartesian") {
     import spark.implicits._
     val ev = (1L to 5000L).map(i => (i, s"k${i % 4}", i * 1000L)).toDF("event_id", "event_type", "ts_us")
