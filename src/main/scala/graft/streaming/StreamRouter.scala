@@ -4,7 +4,7 @@ import graft.{Router, Rule, RoutingConfig, RuleCompiler}
 import graft.RuleCompiler.RoutingPlan
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 /** Structured Streaming face of the rule-routing engine.
@@ -230,6 +230,87 @@ object StreamRouter {
             closed.result().iterator
           }
       }
+  }
+
+  /** One entity's current state for the streaming latest-wins face. */
+  case class LatestEvent(
+      user_id: Long, ts_us: Long, event_id: Long, event_type: String, value_c: Long)
+
+  /** Streaming latest-record-wins compaction — the streaming face of
+    * [[graft.logops.LogOps.latestState]]: per entity, one state cell
+    * holding the max-(ts_us, event_id) row seen so far; each micro-batch
+    * emits the NEW current state of every entity it touched (update-mode
+    * materialized view of "where is every entity now").
+    *
+    * State is one fixed-size row per DISTINCT ENTITY — the inherent size
+    * of the answer itself, not of the history (a billion updates to one
+    * device still hold one cell). That is why this face uses NoTimeout:
+    * evicting an entity would forget its current state, which unlike
+    * sessions/windows never expires. An out-of-order or duplicate arrival
+    * with a smaller (ts_us, event_id) loses to the stored cell and emits
+    * nothing — arrival order never changes the converged answer (asserted
+    * differentially vs the batch operator in StreamRouterSpec).
+    */
+  def latestState(
+      stream: DataFrame,
+      userCol: String = "user_id",
+      tsUsCol: String = "ts_us",
+      idCol: String = "event_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value"): org.apache.spark.sql.Dataset[LatestEvent] = {
+    val ss = stream.sparkSession
+    import ss.implicits._
+    val typed = stream.select(
+      col(userCol).cast("long").as("user_id"),
+      col(tsUsCol).cast("long").as("ts_us"),
+      col(idCol).cast("long").as("event_id"),
+      col(typeCol).cast("string").as("event_type"),
+      round(col(valueCol) * 100).cast("long").as("value_c")).as[LatestEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestEvent, LatestEvent](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[LatestEvent],
+         state: org.apache.spark.sql.streaming.GroupState[LatestEvent]) =>
+          val prev = state.getOption
+          val best = (prev.iterator ++ events).maxBy(e => (e.ts_us, e.event_id))
+          if (prev.contains(best)) Iterator.empty // losing arrivals emit nothing
+          else { state.update(best); Iterator.single(best) }
+      }
+  }
+
+  /** Streaming interval join — the stream-stream face of
+    * [[graft.logops.LogOps.intervalJoin]]: events join the incident
+    * windows covering them, with BOTH sides' state bounded by the
+    * watermark. The join condition gives Spark the two-sided event-time
+    * bound it needs to expire state (`e.ts ∈ [w.start_ts, w.start_ts +
+    * maxSpanSeconds]`); the exact exclusive end rides as a residual on
+    * `end_us`. Windows longer than `maxSpanSeconds` are rejected up front
+    * (a filter — their tail matches would silently vanish otherwise).
+    *
+    * `events` needs (`keyCol`, `ts` timestamp, payload...); `windows`
+    * needs (`keyCol`, `win_id`, `start_ts` timestamp, `end_us` long
+    * micros, exclusive). Returns event payload + `win_id` per covering
+    * window, exactly the batch operator's pairs for in-watermark data
+    * (asserted differentially in StreamRouterSpec).
+    */
+  def intervalJoin(
+      events: DataFrame,
+      windows: DataFrame,
+      maxSpanSeconds: Long,
+      delay: String,
+      keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(maxSpanSeconds > 0, s"maxSpanSeconds must be positive, got $maxSpanSeconds")
+    val e = events.withWatermark(tsCol, delay).alias("e")
+    val w = windows
+      .where(col("end_us") - unix_micros(col("start_ts")) <= maxSpanSeconds * 1000000L)
+      .withWatermark("start_ts", delay).alias("w")
+    e.join(w,
+      col(s"e.$keyCol") === col(s"w.$keyCol") &&
+        col(s"e.$tsCol") >= col("w.start_ts") &&
+        col(s"e.$tsCol") <= col("w.start_ts") + expr(s"interval $maxSpanSeconds seconds") &&
+        unix_micros(col(s"e.$tsCol")) < col("w.end_us"))
+      .select(col("e.*"), col("w.win_id"))
   }
 
   /** Fan-out file sink: append mode, one directory per (label_ns, tag),

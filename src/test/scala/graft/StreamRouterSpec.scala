@@ -241,4 +241,64 @@ class StreamRouterSpec extends AnyFunSuite {
     assert(got.contains((1L, 95000000L, 100000000L, 2L, 300L)),
       s"late-but-valid event must extend the session backwards, got $got")
   }
+
+  test("streaming latestState: converged view ≡ batch operator, losing arrivals emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val stream = mem.toDF.toDF("event_id", "user_id", "ts_us", "event_type", "value")
+    val latest = StreamRouter.latestState(stream)
+    val q = latest.writeStream.format("memory").queryName("latest_stream")
+      .outputMode("update").start()
+    mem.addData((1L, 10L, 100L, "a", 1.0), (2L, 20L, 500L, "d", 4.0))
+    q.processAllAvailable()
+    // batch 2: event 3 advances user 10; event 4 is OLDER for user 20 →
+    // loses to stored state and must emit nothing
+    mem.addData((3L, 10L, 300L, "b", 2.0), (4L, 20L, 400L, "e", 5.0))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("latest_stream")
+      .as[(Long, Long, Long, String, Long)].collect()
+    assert(!emitted.exists(_._3 == 4L), s"losing arrival must not emit, got ${emitted.toSeq}")
+    // converged view: per user the max-ts_us emission ≡ batch latestState
+    val converged = emitted.groupBy(_._1).view.mapValues(_.maxBy(e => (e._2, e._3))).toMap
+    val rows = Seq((1L, 10L, 100L, "a", 1.0), (2L, 20L, 500L, "d", 4.0),
+      (3L, 10L, 300L, "b", 2.0), (4L, 20L, 400L, "e", 5.0))
+    val batch = graft.logops.LogOps.latestState(
+      rows.toDF("event_id", "user_id", "ts_us", "event_type", "value"),
+      payloadCols = Seq("event_type", "value"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), math.round(r.getDouble(4) * 100)))).toMap
+    assert(converged.map { case (u, e) => u -> ((e._2, e._3, e._4, e._5)) } === batch)
+  }
+
+  test("streaming intervalJoin ≡ batch pairs; over-span windows rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val evMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val winMem = MemoryStream[(String, Long, java.sql.Timestamp, Long)]
+    val events = evMem.toDF.toDF("event_id", "event_type", "ts")
+    val windows = winMem.toDF.toDF("event_type", "win_id", "start_ts", "end_us")
+    val joined = StreamRouter.intervalJoin(events, windows,
+      maxSpanSeconds = 120, delay = "10 seconds")
+    evMem.addData((1L, "a", ts(100)), (2L, "a", ts(249)), (3L, "a", ts(250)),
+      (4L, "b", ts(100)), (5L, "a", ts(400)))
+    winMem.addData(
+      ("a", 10L, ts(150), 260000000L),  // [150, 260): events 2, 3
+      ("a", 20L, ts(90), 105000000L),   // [90, 105): event 1
+      ("a", 30L, ts(300), 600000000L))  // span 300 s > maxSpan → rejected
+    val q = joined.writeStream.format("memory").queryName("ivj_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ivj_stream").select("event_id", "win_id")
+      .as[(Long, Long)].collect().toSet
+    // batch equivalent over the SAME admissible windows
+    val bEv = Seq((1L, "a", 100000000L), (2L, "a", 249000000L), (3L, "a", 250000000L),
+      (4L, "b", 100000000L), (5L, "a", 400000000L))
+      .toDF("event_id", "event_type", "ts_us")
+    val bWin = Seq(("a", 10L, 150000000L, 260000000L), ("a", 20L, 90000000L, 105000000L))
+      .toDF("event_type", "win_id", "start_us", "end_us")
+    val batch = graft.logops.LogOps.intervalJoin(bEv, bWin, bucketUs = 60000000L)
+      .select("event_id", "win_id").as[(Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(got === Set((1L, 20L), (2L, 10L), (3L, 10L)))
+  }
 }
