@@ -406,6 +406,27 @@ object SparkEntry {
         col("is_dup").cast("long").as("is_dup"))
     }),
 
+    // governance: where does duplicate mass cross source boundaries? Per
+    // (keeper's source, dup's source): count of exact-dup docs. Two narrow
+    // (doc_id, source) join-backs onto the keeper-election frame — text
+    // never re-shuffles, the matrix is |sources|^2 rows
+    "q_dup_overlap_matrix" -> ((s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      Dedup.exact(docs(s, dir)).where(col("is_dup"))
+        .select(col("doc_id"), col("keeper_id"))
+        .join(src, "doc_id")
+        .withColumnRenamed("source", "dup_source")
+        .join(src.select(col("doc_id").as("keeper_id"), col("source").as("keeper_source")),
+          "keeper_id")
+        .groupBy(col("keeper_source"), col("dup_source"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // tokenizer fit: per-doc OOV rate vs the corpus' top-20 vocabulary
+    // (TakeOrdered vocab -> broadcast left join -> partial+final rollup)
+    "q_vocab_coverage" -> ((s, dir) =>
+      graft.textops.CorpusStats.vocabCoverage(docs(s, dir), vocabK = 20)),
+
     // the composed curation pass: quality-gate × language allowlist ×
     // exact-dedup keeper filter × deterministic split — what a training
     // pipeline actually runs over a raw crawl, end to end in one plan.
@@ -1479,6 +1500,31 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       s"SELECT doc_id, keeper_id, is_dup FROM $duckDedupSub",
+
+    "q_dup_overlap_matrix" ->
+      s"""SELECT k.source AS keeper_source, d.source AS dup_source,
+         |  count(*) AS n
+         |FROM $duckDedupSub x
+         |JOIN documents d ON x.doc_id = d.doc_id
+         |JOIN documents k ON x.keeper_id = k.doc_id
+         |WHERE x.is_dup = 1
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (SELECT doc_id, unnest(__WORDS__) AS w FROM documents)
+        |), vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS n FROM tok GROUP BY 1
+        |    ORDER BY n DESC, w ASC LIMIT 20
+        |  )
+        |)
+        |SELECT t.doc_id, count(*) AS n_tok,
+        |  sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  (sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+        |     // count(*))::BIGINT AS oov_ppm
+        |FROM tok t LEFT JOIN vocab v ON t.w = v.w
+        |GROUP BY 1""".stripMargin.replace("__WORDS__", duckWords),
 
     // quality × lang-ID × dedup × split composed — the realistic curation
     // pass a training pipeline runs over a raw crawl (gate via the shared

@@ -215,6 +215,34 @@ object CorpusStats {
         col("p.neighbor_id").as("doc_id"), col("p.sim_ppm").as("tf"))
   }
 
+  /** Per-document vocabulary coverage against the corpus' own top-`vocabK`
+    * terms: token count, out-of-vocabulary count, and exact `oov_ppm` —
+    * the tokenizer-fit signal ("how much of this document will a
+    * fixed-vocab model see as unknowns").
+    *
+    * Shape at scale: the vocabulary is `orderBy(count).limit(k)` over the
+    * aggregated term counts — Spark plans TakeOrderedAndProject, a k-row
+    * heap per partition + driver merge, never a full sort — and then
+    * BROADCASTS to the token stream (k rows against billions: the
+    * canonical broadcast-left-join). The per-doc rollup is a partial+final
+    * aggregate over the exploded tokens; nothing wider than (doc_id, word)
+    * ever shuffles. Empty documents vanish with the explode, mirroring the
+    * oracle's inner unnest.
+    */
+  def vocabCoverage(docs: DataFrame, vocabK: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(vocabK > 0, s"vocabCoverage vocabK must be positive, got $vocabK")
+    val tok = docs.select(col(idCol), explode(TextFunctions.words(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("w").asc).limit(vocabK)
+      .select(col("w"), lit(1L).as("__in_v"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("__in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000L div n_tok"))
+  }
+
   def heavyTerms(docs: DataFrame, groupCol: String, m: Int, k: Int): DataFrame = {
     require(k > 0 && k <= m, s"need 0 < k <= m, got k=$k m=$m")
     val summary = docs

@@ -417,6 +417,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "a sort-merge join-back would shuffle the full corpus on the value")
   }
 
+  test("vocabCoverage: TakeOrdered vocab broadcast to the token stream, no sort-merge") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"w${i % 37} w${i % 11} w${i % 5}")).toDF("doc_id", "text")
+    val out = graft.textops.CorpusStats.vocabCoverage(docs, vocabK = 10)
+    val nodes = executedNodes(out)
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"vocab election must be a bounded heap, not a global sort:\n${out.queryExecution.executedPlan}")
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")) &&
+      !nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "the k-row vocabulary must broadcast to the exploded token stream")
+  }
+
   test("intervalJoin plans an EQUI-join on (key, bucket): no nested-loop, no cartesian") {
     import spark.implicits._
     val ev = (1L to 5000L).map(i => (i, s"k${i % 4}", i * 1000L)).toDF("event_id", "event_type", "ts_us")
