@@ -561,6 +561,37 @@ object SparkEntry {
       Dedup.nearDupClusters(d, Dedup.simHashPairsPortable(d, maxHamming = 12))
     }),
 
+    // leakage-free eval split: the hash-split KEYED ON THE NEAR-DUP CLUSTER
+    // (not the doc), so every cluster member lands in the same split and no
+    // near-dup pair straddles train/test — the dedup-aware split discipline
+    // ("Deduplicating Training Data Makes Language Models Better" motivates
+    // exactly this leak). Same shuffle-free projection as q_hash_split once
+    // clusters exist
+    "q_leakage_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.nearDupClusters(d, Dedup.simHashPairsPortable(d, maxHamming = 12))
+      Sampling.hashSplit(clusters, "cluster_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    }),
+
+    // per-source pipeline-health scorecard: doc count, exact-dup mass,
+    // quality and token totals with integer-exact ppm means — one narrow
+    // per-doc pass joined to the dup flags, then a partial+final rollup
+    "q_source_scorecard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val flags = Dedup.exact(d).select(col("doc_id"), col("is_dup").cast("long").as("is_dup"))
+      d.select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("nt"))
+        .join(flags, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"),
+          sum(col("q")).as("sum_quality"), sum(col("nt")).as("sum_tokens"))
+        .withColumn("dup_ppm", expr("n_dup * 1000000L div n_docs"))
+        .withColumn("mean_quality_ppm", expr("sum_quality * 1000000L div n_docs"))
+    }),
+
     // brute-force cosine top-k over embeddings
     "q_embed_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1251,6 +1282,35 @@ object SparkEntry {
       s"""WITH RECURSIVE sh_pairs AS ($duckSimHashPairsSql),
          |${duckClustersCtes("documents")}
          |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
+
+    "q_leakage_split" -> {
+      val ts = graft.textops.Sampling.thresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH RECURSIVE sh_pairs AS ($duckSimHashPairsSql),
+         |${duckClustersCtes("documents")}
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < ${ts(0)._2} THEN '${ts(0)._1}'
+         |       WHEN b < ${ts(1)._2} THEN '${ts(1)._1}'
+         |       ELSE '${ts(2)._1}' END AS split
+         |FROM (
+         |  SELECT doc_id, cluster_id, ${duckHexPrefix(4)} AS b
+         |  FROM (SELECT doc_id, cluster_id,
+         |          md5('graft:' || CAST(cluster_id AS VARCHAR)) AS h
+         |        FROM clusters)
+         |)""".stripMargin
+    },
+
+    "q_source_scorecard" ->
+      s"""SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(x.is_dup) AS BIGINT) AS n_dup,
+         |  CAST(sum(q.quality) AS BIGINT) AS sum_quality,
+         |  CAST(sum(q.n_words) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(x.is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm,
+         |  CAST(sum(q.quality) * 1000000 // count(*) AS BIGINT) AS mean_quality_ppm
+         |FROM documents d
+         |JOIN $duckDedupSub x ON d.doc_id = x.doc_id
+         |JOIN $duckQualitySub q ON d.doc_id = q.doc_id
+         |GROUP BY 1""".stripMargin,
 
     "q_embed_ann_lsh" -> {
       val c = duckBucketedEmb(Ann.planes(6, EmbDim))
