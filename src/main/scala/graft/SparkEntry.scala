@@ -473,6 +473,12 @@ object SparkEntry {
         .select("lang", "word", "n", "rank")
     }),
 
+    // KMV pairwise overlap: distinct-content intersection estimates between
+    // every two sources from bounded sketches — the corpus is read once,
+    // never pair-joined; the all-pairs join runs over |sources|^2 sketch rows
+    "q_kmv_overlap" -> ((s, dir) =>
+      graft.sketch.Kmv.overlapByGroup(docs(s, dir), "source", "text", k = 64)),
+
     // bounded inverted-index postings: per term df/cf + top-5 postings by
     // (tf desc, doc_id asc). The postings heap is the TopKPairsAgg bounded
     // aggregate — <= k entries per (term, task) cross the wire, so a
@@ -1668,6 +1674,37 @@ object SparkEntry {
          |FROM nr
          |LEFT JOIN nd ON nr.lang IS NOT DISTINCT FROM nd.lang
          |LEFT JOIN kth ON nr.lang IS NOT DISTINCT FROM kth.lang""".stripMargin
+    },
+
+    "q_kmv_overlap" -> {
+      val k = 64
+      val hex13 = duckHexPrefix(13)
+      s"""WITH hashes AS (SELECT DISTINCT source, md5(text) AS h FROM documents
+         |               WHERE text IS NOT NULL),
+         |ranked AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM hashes),
+         |sk AS (SELECT source, list(h ORDER BY h) AS km
+         |       FROM ranked WHERE rn <= $k GROUP BY source),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |            a.km AS ka, b.km AS kb
+         |          FROM sk a JOIN sk b ON a.source < b.source),
+         |u0 AS (SELECT src_a, src_b, ka, kb,
+         |         list_sort(list_distinct(ka || kb)) AS uni FROM pairs),
+         |u1 AS (SELECT src_a, src_b, ka, kb, uni,
+         |         uni[1:$k] AS merged, uni[$k] AS h FROM u0),
+         |u2 AS (SELECT src_a, src_b,
+         |         CAST(len(merged) AS BIGINT) AS m,
+         |         CAST(len(list_filter(merged,
+         |           x -> list_contains(ka, x) AND list_contains(kb, x))) AS BIGINT) AS j_num,
+         |         CASE WHEN len(uni) < $k THEN CAST(len(uni) AS BIGINT)
+         |              ELSE CAST(floor(${(k - 1).toDouble * graft.sketch.Kmv.Scale}
+         |                   / greatest(CAST($hex13 AS DOUBLE), 1.0)) AS BIGINT)
+         |         END AS union_est
+         |       FROM u1)
+         |SELECT src_a, src_b, m, j_num, union_est,
+         |  CAST(j_num * union_est // m AS BIGINT) AS inter_est
+         |FROM u2""".stripMargin
     },
 
     "q_redact" -> {

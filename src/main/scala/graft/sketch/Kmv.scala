@@ -35,6 +35,48 @@ object Kmv {
       .otherwise(floor(lit((k - 1).toDouble * Scale) / v))
   }
 
+  /** Pairwise set-overlap estimates between every two groups, from their
+    * bounded KMV sketches — the join-size/contamination planning tool:
+    * "how many distinct values do sources A and B share?" without ever
+    * joining A against B.
+    *
+    * Standard KMV set algebra (Beyer et al., "On synopses for distinct-
+    * value estimation under multiset operations"): the k smallest of
+    * K_A ∪ K_B is a valid KMV sketch of A ∪ B, so `union_est` reuses the
+    * bottom-k estimator; the members of that combined sketch present in
+    * BOTH input sketches are a uniform k-sample of the union, so
+    * `j_num / m` estimates Jaccard and `inter_est = j_num · union_est
+    * div m` the distinct intersection (exact integer division — the
+    * estimate is a pure deterministic function of the data, and the
+    * DuckDB oracle reproduces every output bit).
+    *
+    * Shape at scale: one partial+final sketch aggregate over the corpus
+    * (≤ k short strings per group per task), then an all-pairs join of
+    * the GROUP-count-sized sketch frame (sources/shards/days — thousands
+    * at most; the nested-loop pair join is over |groups|² sketch rows,
+    * never data). The corpus itself is read once and never pair-joined.
+    */
+  def overlapByGroup(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"overlapByGroup needs k >= 2, got $k")
+    val sk = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.expressions.KMinStringsAgg(md5(col(valueCol)), k).as("kmin"))
+    val a = sk.select(col(groupCol).cast("string").as("src_a"), col("kmin").as("__ka"))
+    val b = sk.select(col(groupCol).cast("string").as("src_b"), col("kmin").as("__kb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("__uni", array_sort(array_union(col("__ka"), col("__kb"))))
+      .withColumn("__merged", slice(col("__uni"), 1, k))
+      .withColumn("m", size(col("__merged")).cast("long"))
+      .withColumn("j_num",
+        size(filter(col("__merged"),
+          h => array_contains(col("__ka"), h) && array_contains(col("__kb"), h))).cast("long"))
+      .withColumn("union_est", estimateFromKmin(col("__uni"), k))
+      .withColumn("inter_est", expr("j_num * union_est div m"))
+      .select(col("src_a"), col("src_b"), col("m"), col("j_num"),
+        col("union_est"), col("inter_est"))
+  }
+
   /** Per-group distinct-count estimate of `valueCol`. */
   def distinctByGroup(
       df: DataFrame, groupCol: String, valueCol: String, k: Int = 64): DataFrame =

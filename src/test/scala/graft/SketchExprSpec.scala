@@ -269,4 +269,32 @@ class SketchExprSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Kmv.overlapByGroup: exhaustive regime is exact; estimator regime bounded and consistent") {
+    // exhaustive: k = 64 > every group's distinct count → union/intersection exact
+    val rows =
+      (1 to 20).map(i => ("a", s"v$i")) ++ // A = v1..v20
+      (11 to 35).map(i => ("b", s"v$i")) ++ // B = v11..v35; |A ∩ B| = 10, |A ∪ B| = 35
+      Seq(("a", "v1"), ("b", "v11")) // dup rows must not change distinct sets
+    val out = graft.sketch.Kmv.overlapByGroup(
+      rows.toDF("source", "text"), "source", "text", k = 64).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "a" && r.getString(1) === "b")
+    assert(r.getLong(r.fieldIndex("m")) === 35L)
+    assert(r.getLong(r.fieldIndex("j_num")) === 10L)
+    assert(r.getLong(r.fieldIndex("union_est")) === 35L)
+    assert(r.getLong(r.fieldIndex("inter_est")) === 10L) // 10 * 35 div 35
+    // estimator regime: 500-distinct groups with 250 shared, k = 32
+    val big =
+      (1 to 500).map(i => ("x", s"w$i")) ++
+      (251 to 750).map(i => ("y", s"w$i"))
+    val e = graft.sketch.Kmv.overlapByGroup(
+      big.toDF("source", "text"), "source", "text", k = 32).collect().head
+    val (m, j, u, inter) = (e.getLong(2), e.getLong(3), e.getLong(4), e.getLong(5))
+    assert(m === 32L && j <= m)
+    assert(u > 500L && u < 1200L, s"union_est $u should be near 750")
+    assert(inter === j * u / m, "integer-division consistency")
+    assert(inter > 80L && inter < 600L, s"inter_est $inter should be near 250")
+  }
 }
