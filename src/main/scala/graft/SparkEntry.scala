@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.logops.LogOps
 import graft.multimodal.Multimodal
 import graft.parse.Grok
-import graft.textops.{CorpusStats, Packing, Sampling, TextFunctions}
+import graft.textops.{CorpusStats, Packing, Sampling, TextFunctions, Vocab}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -427,6 +427,30 @@ object SparkEntry {
     "q_vocab_coverage" -> ((s, dir) =>
       graft.textops.CorpusStats.vocabCoverage(docs(s, dir), vocabK = 20)),
 
+    // cross-source PRIORITY dedup: the keeper of each identical-text group
+    // is the copy from the most-preferred source (curated beats crawl),
+    // min-id tiebreak — struct-min partial+final election, text never
+    // shuffles (the discipline real pipelines use: keep the Wikipedia copy,
+    // drop the CommonCrawl one)
+    "q_priority_dedup" -> ((s, dir) => {
+      val pref = when(col("source") === "src3", 0L)
+        .when(col("source") === "src1", 1L).otherwise(9L)
+      Dedup.exactByPreference(docs(s, dir), pref)
+        .select(col("doc_id"), col("keeper_id"),
+          col("is_dup").cast("long").as("is_dup"))
+    }),
+
+    // tokenizer vocabulary FIT + corpus re-encode: top-256 frequency vocab
+    // (count desc, word asc) assigned dense ids, every token occurrence
+    // re-encoded by broadcast join, OOV → -1. The raw token volume only
+    // ever flows through a partial+final count and a broadcast probe —
+    // no corpus-wide window
+    "q_vocab_encode" -> ((s, dir) => Vocab.fitEncode(docs(s, dir), vocabK = 256)),
+
+    // context-window chunking: fixed 64-token chunks per document
+    // (sequence + explode — pure narrow arithmetic, shuffle-free)
+    "q_token_chunk" -> ((s, dir) => Vocab.chunk(docs(s, dir), chunkSize = 64)),
+
     // the composed curation pass: quality-gate × language allowlist ×
     // exact-dedup keeper filter × deterministic split — what a training
     // pipeline actually runs over a raw crawl, end to end in one plan.
@@ -604,6 +628,17 @@ object SparkEntry {
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))
+    }),
+
+    // int8-QUANTIZED exact top-k: both sides symmetric-quantized (4× smaller
+    // corpus vectors — the billion-vector memory/bandwidth lever), score =
+    // integer dot over the quantized arrays (bit-stable across engines; no
+    // float summation in the score), same bounded-heap tail
+    "q_embed_quantized" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.quantizedTopK(e, e.filter(col("vec_id") < 3), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("qsim_ppm"))
     }),
 
     // LSH-bucketed ANN (deterministic hyperplanes → full value oracle)
@@ -1592,6 +1627,43 @@ object SparkEntry {
         |FROM tok t LEFT JOIN vocab v ON t.w = v.w
         |GROUP BY 1""".stripMargin.replace("__WORDS__", duckWords),
 
+    "q_priority_dedup" ->
+      """SELECT doc_id, keeper_id,
+        |  CAST(doc_id <> keeper_id AS BIGINT) AS is_dup
+        |FROM (
+        |  SELECT doc_id, first_value(doc_id) OVER (
+        |    PARTITION BY text
+        |    ORDER BY CASE source WHEN 'src3' THEN 0 WHEN 'src1' THEN 1
+        |             ELSE 9 END, doc_id) AS keeper_id
+        |  FROM documents)""".stripMargin,
+
+    "q_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(ws) AS word,
+        |         UNNEST(range(1, len(ws) + 1)) - 1 AS pos
+        |  FROM (SELECT doc_id, __WORDS__ AS ws FROM documents)
+        |), vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY n DESC, word ASC) - 1 AS token_id
+        |  FROM (SELECT word, count(*) AS n FROM tok GROUP BY 1)
+        |  QUALIFY row_number() OVER (ORDER BY n DESC, word ASC) <= 256
+        |)
+        |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.word,
+        |       CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+        |FROM tok t LEFT JOIN vocab v USING (word)""".stripMargin
+        .replace("__WORDS__", duckWords),
+
+    "q_token_chunk" ->
+      """SELECT doc_id,
+        |  UNNEST(range(0, (n + 63) // 64)) AS chunk_id,
+        |  UNNEST(list_transform(range(0, (n + 63) // 64),
+        |         i -> least(64, n - i * 64))) AS chunk_len,
+        |  UNNEST(list_transform(range(0, (n + 63) // 64),
+        |         i -> ws[i * 64 + 1])) AS head_word
+        |FROM (
+        |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, __WORDS__ AS ws FROM documents)
+        |  WHERE len(ws) > 0)""".stripMargin.replace("__WORDS__", duckWords),
+
     // quality × lang-ID × dedup × split composed — the realistic curation
     // pass a training pipeline runs over a raw crawl (gate via the shared
     // duckGatedSub, one definition with q_curation_neardup)
@@ -1749,6 +1821,38 @@ object SparkEntry {
         |        DESC, c.vec_id ASC) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
         |) WHERE rank <= 10""".stripMargin,
+
+    "q_embed_quantized" ->
+      s"""WITH q8 AS (
+         |  SELECT vec_id,
+         |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(embedding,
+         |           x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s) AS BIGINT)) END AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+         |        FROM embeddings)
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, ${EmbDim + 1}),
+         |      i -> q.qv[i] * c.qv[i]), (x, y) -> x + y) AS qdot,
+         |    list_reduce(list_transform(range(1, ${EmbDim + 1}),
+         |      i -> q.qv[i] * q.qv[i]), (x, y) -> x + y) AS qsq,
+         |    list_reduce(list_transform(range(1, ${EmbDim + 1}),
+         |      i -> c.qv[i] * c.qv[i]), (x, y) -> x + y) AS csq
+         |  FROM q8 q JOIN q8 c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, rank, neighbor_id, qsim_ppm FROM (
+         |  SELECT query_id, neighbor_id, qsim_ppm,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY qsim_ppm DESC, neighbor_id ASC) AS rank
+         |  FROM (
+         |    SELECT query_id, neighbor_id,
+         |      CASE WHEN qsq = 0 OR csq = 0 THEN 0
+         |           ELSE CAST(floor(CAST(qdot AS DOUBLE) * 1000000.0 /
+         |             (sqrt(CAST(qsq AS DOUBLE)) * sqrt(CAST(csq AS DOUBLE))))
+         |             AS BIGINT) END AS qsim_ppm
+         |    FROM scored)
+         |) WHERE rank <= 10""".stripMargin,
 
     "q_route_chained" ->
       s"""SELECT doc_id, tag1, new_tag FROM (

@@ -105,6 +105,61 @@ object Ann {
       .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"), col("t.sim_ppm").as("sim_ppm"))
 
+  /** Symmetric per-vector int8 quantization: scale = max|v_i|, each element
+    * maps to round(127·v/scale) ∈ [-127, 127] (all-zero vectors quantize to
+    * all-zero). This is the standard bandwidth/memory lever for
+    * billion-vector search — a float32 corpus shrinks 4× and the rerank dot
+    * product becomes exact integer arithmetic (cross-engine bit-stable: no
+    * float summation anywhere in the score). The per-row scale is computed
+    * once in its own projection (NOT inlined into the element lambda — the
+    * max would re-evaluate per element), then the quantized array replaces
+    * the float vector; everything stays narrow.
+    *
+    * @return input frame with `qvecCol` (array<long> in [-127,127]) added.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, qvecCol: String): DataFrame =
+    df
+      .withColumn("__qs",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .withColumn(qvecCol,
+        when(col("__qs") === 0.0,
+          transform(col(vecCol), _ => lit(0L)))
+          .otherwise(transform(col(vecCol),
+            x => round(lit(127.0) * x.cast("double") / col("__qs")).cast("long"))))
+      .drop("__qs")
+
+  /** Exact top-k under the QUANTIZED similarity: both sides int8-quantized,
+    * score = floor(1e6 · qdot / (‖q‖·‖c‖)) where qdot and the squared norms
+    * are exact integer dot products (through the same codegen'd
+    * [[graft.expressions.DotDouble]] — long inputs, integer-valued doubles,
+    * exact below 2^53). Same broadcast + bounded-heap tail as
+    * [[bruteForceTopK]]; the corpus is scanned once and only (query_id,
+    * neighbor_id, qsim_ppm) rows reach the aggregate.
+    *
+    * @return (query_id, neighbor_id, rank, qsim_ppm), rank 1..k by
+    *         (qsim desc, neighbor_id asc).
+    */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10): DataFrame = {
+    def prep(df: DataFrame, id: String, v: String, n: String): DataFrame =
+      quantizeInt8(df.select(col(idCol).as(id), col(vecCol).as("__v")), "__v", v)
+        .withColumn(n, dot(col(v), col(v))) // integer-valued double, exact
+        .drop("__v")
+    val q = broadcast(prep(queries, "query_id", "qv", "qn"))
+    val scored = prep(corpus, "neighbor_id", "cv", "cn")
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_ppm",
+        when(col("qn") === 0.0 || col("cn") === 0.0, lit(0L))
+          .otherwise(floor(dot(col("qv"), col("cv")) * 1000000.0 /
+            (sqrt(col("qn")) * sqrt(col("cn"))))))
+      .select("query_id", "neighbor_id", "sim_ppm")
+    topKTail(scored, k).withColumnRenamed("sim_ppm", "qsim_ppm")
+  }
+
   /** Two-stage WINDOW formulation of [[bruteForceTopK]] — the pure-built-in
     * differential oracle. Stage 1 ranks within
     * `(query_id, spark_partition_id())` so no task sorts more than its own

@@ -52,6 +52,36 @@ object Dedup {
       .drop("__fp", "__kfp")
   }
 
+  /** Source-priority exact dedup: like [[exact]], but the keeper of each
+    * identical-text group is the copy from the most-preferred source
+    * (lowest `prefCol`), with min-id as the tiebreak — the cross-source
+    * discipline real curation runs use ("keep the curated-source copy,
+    * drop the crawl copy"). Election is `groupBy(fp).agg(min(struct(pref,
+    * id)))`: struct min orders lexicographically and has a partial
+    * (map-side) step, so a 10^8-copy boilerplate page still collapses to
+    * one row per map task before the shuffle; text never shuffles.
+    *
+    * @param prefCol integer preference, smaller = keep (e.g. a CASE over
+    *                `source`, or a broadcast-joined priority dim).
+    */
+  def exactByPreference(
+      df: DataFrame,
+      prefCol: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val keepers = df
+      .select(fp.as("__kfp"), struct(prefCol.as("p"), col(idCol).as("id")).as("__pk"))
+      .groupBy("__kfp").agg(min("__pk").as("__pk"))
+      .select(col("__kfp"), col("__pk.id").as("keeper_id"))
+    // null-safe join for the same reason as [[exact]]: null texts form ONE
+    // group and still elect a keeper
+    df.withColumn("__fp", fp)
+      .join(keepers, col("__fp") <=> col("__kfp"))
+      .withColumn("is_dup", col("keeper_id") =!= col(idCol))
+      .drop("__fp", "__kfp")
+  }
+
   /** MinHash signature from a pre-hashed shingle array: for each of
     * `numHashes` hash functions, the min over the doc's shingle hashes. The
     * j-th function is xxhash64 re-seeded by j (no a*x+b mod p arithmetic →

@@ -3,7 +3,7 @@ package graft
 import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.textops.TextFunctions
+import graft.textops.{TextFunctions, Vocab}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -129,6 +129,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out("n2") == ("n2", false)) // keeper among the nulls
     assert(out("n3") == ("n2", true)) // null texts group together, like the oracle
     assert(out("n1") == ("n1", false))
+  }
+
+  test("priority dedup: preferred-source copy wins, min-id tiebreak") {
+    val df = Seq(
+      ("d1", "same text", "crawl"),
+      ("d2", "same text", "curated"), // wins over lower-id crawl copies
+      ("d3", "same text", "crawl"),
+      ("d4", "other", "crawl"),
+      ("d5", "third", "curated"),
+      ("d6", "third", "curated")) // equal preference → min-id tiebreak
+      .toDF("doc_id", "text", "source")
+    val pref = when(col("source") === "curated", 0L).otherwise(1L)
+    val out = Dedup.exactByPreference(df, pref).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[String]("keeper_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out("d2") == ("d2", false))
+    assert(out("d1") == ("d2", true))
+    assert(out("d3") == ("d2", true))
+    assert(out("d4") == ("d4", false))
+    assert(out("d5") == ("d5", false))
+    assert(out("d6") == ("d5", true))
   }
 
   test("minhash LSH finds near-dup pairs and verifies jaccard") {
@@ -457,6 +478,49 @@ class AnnSpec extends AnyFunSuite {
       Ann.ivfTopK(emb, queries, numCentroids = 16, nProbe = 17))
   }
 
+  test("int8 quantization: exact values, max element ±127, zero vector → zeros") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Ann.quantizeInt8(df, "embedding", "qv").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](2)).toMap
+    // scale=1.0: round(63.5)=64 (half-up), -127 exact, round(31.75)=32
+    assert(q(1L) == Seq(64L, -127L, 32L))
+    assert(q(2L) == Seq(0L, 0L, 0L))
+  }
+
+  test("quantized top-k matches driver-side integer recompute") {
+    val queries = emb.filter(col("vec_id") < 2)
+    val got = Ann.quantizedTopK(emb, queries, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("qsim_ppm"))).toSeq)
+      .toMap
+
+    val all = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def quant(v: Array[Float]): Array[Long] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      if (s == 0.0) v.map(_ => 0L)
+      else v.map(x => java.math.BigDecimal.valueOf(127.0 * x.toDouble / s)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()) // Spark round semantics
+    }
+    def sim(a: Array[Long], b: Array[Long]): Long = {
+      val qdot = a.indices.map(i => a(i) * b(i)).sum.toDouble
+      val qn = a.map(x => x * x).sum.toDouble
+      val cn = b.map(x => x * x).sum.toDouble
+      if (qn == 0 || cn == 0) 0L
+      else math.floor(qdot * 1000000.0 / (math.sqrt(qn) * math.sqrt(cn))).toLong
+    }
+    val q8 = all.view.mapValues(quant).toMap
+    for (q <- Seq(0L, 1L)) {
+      val want = q8.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, sim(q8(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      assert(got(q) == want, s"query $q")
+    }
+  }
+
   test("caller-supplied dim skips the dimension-probe job entirely") {
     // an EMPTY corpus makes the probe observable: first() on it throws, so
     // plan construction succeeding proves no probe job ran
@@ -467,6 +531,39 @@ class AnnSpec extends AnyFunSuite {
     // and the fallback still probes when dim is not given
     assertThrows[NoSuchElementException](
       Ann.lshTopK(empty, empty, k = 3, numPlanes = 4))
+  }
+}
+
+class VocabSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fitEncode: dense frequency ids, OOV -1, empty docs contribute nothing") {
+    val df = Seq(("a", "x y x z"), ("b", "x q"), ("c", "")).toDF("doc_id", "text")
+    // counts: x=3, q=1, y=1, z=1 → (n desc, word asc): x→0, q→1, y→2; z is OOV at K=3
+    val out = Vocab.fitEncode(df, vocabK = 3).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("pos")) ->
+        (r.getAs[String]("word"), r.getAs[Long]("token_id"))).toMap
+    assert(out.size == 6)
+    assert(out(("a", 0L)) == ("x", 0L))
+    assert(out(("a", 1L)) == ("y", 2L))
+    assert(out(("a", 2L)) == ("x", 0L))
+    assert(out(("a", 3L)) == ("z", -1L))
+    assert(out(("b", 0L)) == ("x", 0L))
+    assert(out(("b", 1L)) == ("q", 1L))
+  }
+
+  test("chunk: fixed-budget layout, remainder tail, empty docs skipped") {
+    val df = Seq(("a", "w0 w1 w2 w3 w4"), ("b", "u0 u1"), ("c", ""))
+      .toDF("doc_id", "text")
+    val out = Vocab.chunk(df, chunkSize = 2).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("chunk_len"), r.getAs[String]("head_word"))).toMap
+    assert(out.size == 4)
+    assert(out(("a", 0L)) == (2L, "w0"))
+    assert(out(("a", 1L)) == (2L, "w2"))
+    assert(out(("a", 2L)) == (1L, "w4")) // remainder chunk
+    assert(out(("b", 0L)) == (2L, "u0"))
   }
 }
 
