@@ -451,6 +451,10 @@ object SparkEntry {
     // (sequence + explode — pure narrow arithmetic, shuffle-free)
     "q_token_chunk" -> ((s, dir) => Vocab.chunk(docs(s, dir), chunkSize = 64)),
 
+    // LM-free fluency gate: per-doc mean corpus-bigram frequency in ppm
+    // (partial+final bigram table, bigram-keyed equi-join, integer-only)
+    "q_lm_fluency" -> ((s, dir) => CorpusStats.bigramFluency(docs(s, dir))),
+
     // the composed curation pass: quality-gate × language allowlist ×
     // exact-dedup keeper filter × deterministic split — what a training
     // pipeline actually runs over a raw crawl, end to end in one plan.
@@ -640,6 +644,11 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("qsim_ppm"))
     }),
+
+    // per-label QUANTIZED centroids: embedding-space class diagnostics with
+    // every output integer-derived (exact cross-engine) — the explode is
+    // absorbed map-side, the wire carries |labels|×dim partials only
+    "q_label_centroids" -> ((s, dir) => Ann.quantizedCentroids(emb(s, dir))),
 
     // LSH-bucketed ANN (deterministic hyperplanes → full value oracle)
     "q_embed_ann_lsh" -> ((s, dir) => {
@@ -980,6 +989,11 @@ object SparkEntry {
     "CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] " +
       "ELSE list_transform(range(1, len(ws) - 1), " +
       "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END"
+
+  /** 2-word shingles over `ws`, mirroring TextFunctions.shingles(_, 2). */
+  private val duckShingles2 =
+    "CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')] " +
+      "ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END"
 
   /** Per-word 64-char bitstring from the first 8 md5 bytes (MSB-first) —
     * mirrors the Md5WordHashes→SimHashBits bit order.
@@ -1652,6 +1666,21 @@ object SparkEntry {
         |FROM tok t LEFT JOIN vocab v USING (word)""".stripMargin
         .replace("__WORDS__", duckWords),
 
+    "q_lm_fluency" ->
+      """WITH bg AS (
+        |  SELECT doc_id, UNNEST(bgs) AS bg
+        |  FROM (SELECT doc_id, __SH2__ AS bgs
+        |        FROM (SELECT doc_id, __WORDS__ AS ws FROM documents))
+        |), counts AS (
+        |  SELECT bg, count(*) AS bg_freq FROM bg GROUP BY 1
+        |)
+        |SELECT doc_id, count(*) AS n_bg,
+        |  CAST(sum(bg_freq) AS BIGINT) AS sum_freq,
+        |  CAST(sum(bg_freq) * 1000000 // count(*) AS BIGINT) AS mean_freq_ppm
+        |FROM bg JOIN counts USING (bg)
+        |GROUP BY 1""".stripMargin
+        .replace("__SH2__", duckShingles2).replace("__WORDS__", duckWords),
+
     "q_token_chunk" ->
       """SELECT doc_id,
         |  UNNEST(range(0, (n + 63) // 64)) AS chunk_id,
@@ -1853,6 +1882,23 @@ object SparkEntry {
          |             AS BIGINT) END AS qsim_ppm
          |    FROM scored)
          |) WHERE rank <= 10""".stripMargin,
+
+    "q_label_centroids" ->
+      s"""WITH q8 AS (
+         |  SELECT label,
+         |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(embedding,
+         |           x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s) AS BIGINT)) END AS qv
+         |  FROM (SELECT label, embedding,
+         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+         |        FROM embeddings)
+         |)
+         |SELECT label, dim, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n,
+         |  CAST(floor(CAST(sum(q) AS DOUBLE) * 1000.0 / count(*)) AS BIGINT)
+         |    AS centroid_milli
+         |FROM (SELECT label, UNNEST(range(0, $EmbDim)) AS dim, UNNEST(qv) AS q
+         |      FROM q8)
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_route_chained" ->
       s"""SELECT doc_id, tag1, new_tag FROM (

@@ -160,6 +160,31 @@ object Ann {
     topKTail(scored, k).withColumnRenamed("sim_ppm", "qsim_ppm")
   }
 
+  /** Per-label centroids over the QUANTIZED embedding space — the
+    * embedding-space diagnostic view (class centroid drift, label balance)
+    * with every output integer-derived and therefore cross-engine
+    * bit-stable: float vectors quantize per-row first ([[quantizeInt8]]),
+    * then (label, dim) sums aggregate exact integers. The explode produces
+    * dim× rows per vector, but the partial (map-side) aggregate collapses
+    * them to ≤ |labels|·dim rows per task before the shuffle — at 10^9
+    * vectors the wire carries label-count-sized partials, never vectors.
+    * centroid_milli = floor(1000·sum/n), computed through exact-integer
+    * doubles (sums ≪ 2^53), identical association on both engines.
+    *
+    * @return (labelCol, dim, sum_q, n, centroid_milli), one row per
+    *         (label, dimension).
+    */
+  def quantizedCentroids(
+      df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    quantizeInt8(df.select(col(labelCol), col(vecCol)), vecCol, "__qv")
+      .select(col(labelCol), posexplode(col("__qv")).as(Seq("dim", "q")))
+      .groupBy(col(labelCol), col("dim").cast("long").as("dim"))
+      .agg(sum("q").as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("centroid_milli",
+        floor(col("sum_q").cast("double") * 1000.0 / col("n")))
+
   /** Two-stage WINDOW formulation of [[bruteForceTopK]] — the pure-built-in
     * differential oracle. Stage 1 ranks within
     * `(query_id, spark_partition_id())` so no task sorts more than its own

@@ -243,6 +243,28 @@ object CorpusStats {
       .withColumn("oov_ppm", expr("n_oov * 1000000L div n_tok"))
   }
 
+  /** Per-document statistical-fluency signal: the mean corpus frequency of
+    * the document's word bigrams, in ppm-scaled integers — natural prose
+    * reuses common bigrams, keyboard-mash / boilerplate-fragment text does
+    * not, so this is the LM-free stand-in for a perplexity gate. The corpus
+    * bigram table comes from a partial+final count of the exploded bigrams;
+    * the per-doc lookup is an equi-join keyed on the bigram string (AQE
+    * skew-split absorbs stopword-pair hot keys like "of the"), then a
+    * per-doc rollup. Everything integer: no float anywhere.
+    *
+    * @return (idCol, n_bg, sum_freq, mean_freq_ppm) — mean_freq_ppm =
+    *         1e6·sum_freq div n_bg (sum of each bigram's corpus count).
+    */
+  def bigramFluency(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val bg = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("bg_freq"))
+    bg.join(counts, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bg"), sum("bg_freq").as("sum_freq"))
+      .withColumn("mean_freq_ppm", expr("sum_freq * 1000000L div n_bg"))
+  }
+
   def heavyTerms(docs: DataFrame, groupCol: String, m: Int, k: Int): DataFrame = {
     require(k > 0 && k <= m, s"need 0 < k <= m, got k=$k m=$m")
     val summary = docs

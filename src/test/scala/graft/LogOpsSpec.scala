@@ -290,6 +290,19 @@ class LogOpsSpec extends AnyFunSuite {
     assert(!out.exists(t => t._1 == "e"), "minCount must gate hapax pairs")
   }
 
+  test("bigramFluency: mean corpus-bigram frequency, integer ppm") {
+    val docs = Seq(
+      (1L, "a b c"),   // bigrams: "a b", "b c"
+      (2L, "a b d"),   // bigrams: "a b", "b d"
+      (3L, "x")).toDF("doc_id", "text") // <2 words → one degenerate shingle "x"
+    // corpus freqs: "a b"=2, "b c"=1, "b d"=1, "x"=1
+    val out = CorpusStats.bigramFluency(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 3L, 1500000L))) // (2+1)/2 → 1.5e6 ppm
+    assert(out(2L) == ((2L, 3L, 1500000L)))
+    assert(out(3L) == ((1L, 1L, 1000000L)))
+  }
+
   test("salientTerms: tf desc, df asc, term asc; k cap") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),

@@ -489,6 +489,22 @@ class AnnSpec extends AnyFunSuite {
     assert(q(2L) == Seq(0L, 0L, 0L))
   }
 
+  test("quantized centroids: exact integer sums per (label, dim)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f), 7),
+      (2L, Array(0.5f, 1.0f), 7),
+      (3L, Array(0f, 0f), 8)).toDF("vec_id", "embedding", "label")
+    // quantized: v1=(127,-64) [round(-63.5) half-up → -64], v2=(64,127), v3=(0,0)
+    val out = Ann.quantizedCentroids(df).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("dim")) ->
+        (r.getAs[Long]("sum_q"), r.getAs[Long]("n"), r.getAs[Long]("centroid_milli"))).toMap
+    assert(out((7, 0L)) == ((191L, 2L, 95500L)))
+    assert(out((7, 1L)) == ((63L, 2L, 31500L)))
+    assert(out((8, 0L)) == ((0L, 1L, 0L)))
+    assert(out((8, 1L)) == ((0L, 1L, 0L)))
+  }
+
   test("quantized top-k matches driver-side integer recompute") {
     val queries = emb.filter(col("vec_id") < 2)
     val got = Ann.quantizedTopK(emb, queries, k = 5).collect()
