@@ -571,6 +571,18 @@ object SparkEntry {
       Dedup.trimDupSpans(docs(s, dir), k = 8)
     }),
 
+    // cross-document CONTAINMENT: pairs sharing >=2 distinct 8-word spans,
+    // scored by shared/min(n_spans) — catches quotation/wrapping that
+    // symmetric Jaccard under-scores; capped in-row pair expansion
+    "q_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir))),
+
+    // per-source length-distribution drift vs the corpus: two-sample KS
+    // statistic in integer ppm over the bucketed histogram grid (corpus
+    // collapses to |sources|x|buckets| rows before any window)
+    "q_length_drift" -> ((s, dir) =>
+      CorpusStats.distributionDrift(docs(s, dir), "source", "n_chars",
+        bucketWidth = 64L)),
+
     // benchmark decontamination: corpus docs sharing an 8-word span with
     // the (deterministic) eval subset, with distinct-overlap counts —
     // broadcast eval fingerprints, corpus never shuffles
@@ -644,6 +656,19 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("qsim_ppm"))
     }),
+
+    // duplicate-VECTOR dedup: identical int8-quantized embeddings elect a
+    // min-id keeper; only the md5 fingerprint of the quantized elements
+    // shuffles (never the vector), same partial+final election as text dedup
+    "q_embed_dedup" -> ((s, dir) =>
+      Ann.embedExactDedup(emb(s, dir))
+        .select(col("vec_id"), col("keeper_id"),
+          col("is_dup").cast("long").as("is_dup"))),
+
+    // per-label diversity WITHOUT a pair join: mean pairwise quantized dot
+    // from the sum-vector identity (O(n·d), exact integer sums) — the
+    // embedding-space collapse/mode-coverage diagnostic at any label size
+    "q_embed_diversity" -> ((s, dir) => Ann.quantizedDiversity(emb(s, dir))),
 
     // per-label QUANTIZED centroids: embedding-space class diagnostics with
     // every output integer-derived (exact cross-engine) — the explode is
@@ -1294,6 +1319,53 @@ object SparkEntry {
         |SELECT s.doc_id, s.pos, s.span_fp, d.n_docs
         |FROM spans s JOIN dup_fps d USING (span_fp)""".stripMargin,
 
+    "q_containment" ->
+      s"""WITH $duckSpans8Ctes,
+         |dspans AS (SELECT DISTINCT doc_id, span_fp FROM spans),
+         |nsp AS (SELECT doc_id, count(*) AS n_spans FROM dspans GROUP BY 1),
+         |ok_fp AS (
+         |  SELECT span_fp FROM (
+         |    SELECT span_fp, count(*) AS c FROM dspans GROUP BY 1)
+         |  WHERE c BETWEEN 2 AND 64),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS shared_spans
+         |  FROM dspans a JOIN dspans b
+         |    ON a.span_fp = b.span_fp AND a.doc_id < b.doc_id
+         |  WHERE a.span_fp IN (SELECT span_fp FROM ok_fp)
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 2)
+         |SELECT id_a, id_b, shared_spans,
+         |  CAST(shared_spans * 1000000 // least(na.n_spans, nb.n_spans)
+         |    AS BIGINT) AS containment_ppm
+         |FROM pairs
+         |JOIN nsp na ON na.doc_id = id_a
+         |JOIN nsp nb ON nb.doc_id = id_b""".stripMargin,
+
+    "q_length_drift" ->
+      """WITH h AS (
+        |  SELECT source AS g, n_chars // 64 AS bkt, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |bks AS (SELECT DISTINCT bkt FROM h),
+        |gs AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_g FROM h GROUP BY 1),
+        |alc AS (
+        |  SELECT bkt, CAST(sum(n_b) OVER (ORDER BY bkt) AS BIGINT) AS cum_all
+        |  FROM (SELECT b.bkt, coalesce(a.n_b, 0) AS n_b
+        |        FROM bks b LEFT JOIN
+        |          (SELECT bkt, sum(n) AS n_b FROM h GROUP BY 1) a USING (bkt))),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM h),
+        |grid AS (
+        |  SELECT g, n_g, bkt,
+        |    CAST(sum(n) OVER (PARTITION BY g ORDER BY bkt) AS BIGINT) AS cum_g
+        |  FROM (SELECT gs.g, gs.n_g, b.bkt, coalesce(h.n, 0) AS n
+        |        FROM gs CROSS JOIN bks b
+        |        LEFT JOIN h ON h.g = gs.g AND h.bkt = b.bkt))
+        |SELECT g AS source, n_g AS n_docs,
+        |  CAST(max(abs(cum_g * 1000000 // n_g - cum_all * 1000000 // n_all))
+        |    AS BIGINT) AS ks_ppm
+        |FROM grid JOIN alc USING (bkt) CROSS JOIN tot
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_dedup_span_trim" ->
       s"""WITH $duckSpans8Ctes,
         |dup_fps AS (
@@ -1899,6 +1971,50 @@ object SparkEntry {
          |FROM (SELECT label, UNNEST(range(0, $EmbDim)) AS dim, UNNEST(qv) AS q
          |      FROM q8)
          |GROUP BY 1, 2""".stripMargin,
+
+    "q_embed_dedup" ->
+      """WITH q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s) AS BIGINT)) END AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+        |        FROM embeddings)
+        |)
+        |SELECT vec_id, keeper_id, CAST(vec_id <> keeper_id AS BIGINT) AS is_dup
+        |FROM (
+        |  SELECT vec_id, min(vec_id) OVER (
+        |    PARTITION BY md5(array_to_string(qv, ','))) AS keeper_id
+        |  FROM q8)""".stripMargin,
+
+    "q_embed_diversity" ->
+      s"""WITH q8 AS (
+         |  SELECT label,
+         |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(embedding,
+         |           x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s) AS BIGINT)) END AS qv
+         |  FROM (SELECT label, embedding,
+         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+         |        FROM embeddings)
+         |), sums AS (
+         |  SELECT label, CAST(sum(sd * sd) AS BIGINT) AS sum_sq
+         |  FROM (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sd
+         |        FROM (SELECT label, UNNEST(range(0, $EmbDim)) AS dim,
+         |              UNNEST(qv) AS q FROM q8)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), selfs AS (
+         |  SELECT label, count(*) AS n,
+         |    CAST(sum(list_reduce(list_transform(range(1, ${EmbDim + 1}),
+         |      i -> qv[i] * qv[i]), (x, y) -> x + y)) AS BIGINT) AS self_sq
+         |  FROM q8 GROUP BY 1
+         |)
+         |SELECT label, n, sum_sq, self_sq,
+         |  CAST(floor(CAST(sum_sq - self_sq AS DOUBLE) * 1000.0 /
+         |    (n * (n - 1))) AS BIGINT) AS mean_pair_dot_milli
+         |FROM sums JOIN selfs USING (label)
+         |WHERE n >= 2""".stripMargin,
 
     "q_route_chained" ->
       s"""SELECT doc_id, tag1, new_tag FROM (

@@ -185,6 +185,66 @@ object Ann {
       .withColumn("centroid_milli",
         floor(col("sum_q").cast("double") * 1000.0 / col("n")))
 
+  /** Bit-exact duplicate-VECTOR dedup over the quantized embedding space:
+    * identical int8-quantized vectors (re-encoded crops, re-scaled copies
+    * of the same asset, repeated documents with shared embeddings) elect a
+    * min-id keeper. The group key is the md5 of the comma-joined quantized
+    * elements — only the 128-bit fingerprint ever shuffles, never the
+    * vector, and the election is the same partial+final min as text dedup
+    * (a 10^8-copy hot vector collapses map-side).
+    *
+    * @return (idCol, keeper_id, is_dup).
+    */
+  def embedExactDedup(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = quantizeInt8(df.select(col(idCol), col(vecCol)), vecCol, "__qv")
+      .withColumn("__fp",
+        md5(concat_ws(",", transform(col("__qv"), _.cast("string")))))
+    val keepers = q.select(col("__fp").as("__kfp"), col(idCol).as("keeper_id"))
+      .groupBy("__kfp").agg(min("keeper_id").as("keeper_id"))
+    q.join(keepers, col("__fp") === col("__kfp"))
+      .withColumn("is_dup", col("keeper_id") =!= col(idCol))
+      .select(col(idCol), col("keeper_id"), col("is_dup"))
+  }
+
+  /** Per-label embedding diversity WITHOUT a pair join: the mean pairwise
+    * quantized dot product from the sum-vector identity
+    * Σ_{i≠j} x_i·x_j = ‖Σx‖² − Σ‖x‖², so an O(n²) statistic costs one
+    * O(n·d) aggregation pass — the only shape that works when a label has
+    * 10^8 members. All sums are exact integers (per-dim totals ride the
+    * same map-side-combined explode as [[quantizedCentroids]]); the final
+    * milli-scaled mean divides through doubles with identical association
+    * on both engines. Numeric bound: per-dim totals square inside int64
+    * while n·127 < 3·10^9 per label, and the double division is EXACT
+    * (below 2^53) while Σ(S_d²) < 9·10^15 — beyond that, promote the two
+    * sum columns to decimal(38,0) (Spark) / HUGEINT (DuckDB); the plan
+    * shape is unchanged.
+    *
+    * @return (labelCol, n, sum_sq, self_sq, mean_pair_dot_milli) for
+    *         labels with ≥ 2 members.
+    */
+  def quantizedDiversity(
+      df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = quantizeInt8(df.select(col(labelCol), col(vecCol)), vecCol, "__qv")
+      .withColumn("__self", dot(col("__qv"), col("__qv")).cast("long"))
+    val sums = q.select(col(labelCol), posexplode(col("__qv")).as(Seq("dim", "qd")))
+      .groupBy(col(labelCol), col("dim")).agg(sum("qd").as("sd"))
+      .groupBy(col(labelCol)).agg(sum(col("sd") * col("sd")).as("sum_sq"))
+    val selfs = q.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"), sum("__self").as("self_sq"))
+    sums.join(selfs, labelCol)
+      .filter(col("n") >= 2)
+      .withColumn("mean_pair_dot_milli",
+        floor((col("sum_sq") - col("self_sq")).cast("double") * 1000.0 /
+          (col("n") * (col("n") - 1))))
+      .select(col(labelCol), col("n"), col("sum_sq"), col("self_sq"),
+        col("mean_pair_dot_milli"))
+  }
+
   /** Two-stage WINDOW formulation of [[bruteForceTopK]] — the pure-built-in
     * differential oracle. Stage 1 ranks within
     * `(query_id, spark_partition_id())` so no task sorts more than its own

@@ -729,6 +729,49 @@ object Dedup {
         col("span_fp"), col("n_docs"))
   }
 
+  /** Cross-document CONTAINMENT pairs: documents sharing ≥ `minShared`
+    * distinct k-word spans, scored by containment_ppm = shared /
+    * min(n_spans_a, n_spans_b) — the asymmetric overlap measure that
+    * catches quotation/wrapping (a short doc embedded in a much larger
+    * one), which symmetric Jaccard under-scores precisely because the
+    * union is dominated by the larger doc. 100 TB shape: per-doc span
+    * sets collapse to (doc, fp) rows; each fp bucket gathers through the
+    * bounded [[graft.expressions.CappedCollectList]] and expands pairs
+    * in-row (a boilerplate span shared by 10^8 docs saturates the cap and
+    * is dropped, never materialized); the shared-span count is a
+    * partial+final aggregate over the expanded pairs; the two n_spans
+    * join-backs are id-keyed.
+    *
+    * @return (id_a, id_b, shared_spans, containment_ppm), id_a < id_b.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      minShared: Int = 2,
+      maxBucket: Int = 64): DataFrame = {
+    val docSpans = spanOccurrences(df, idCol, textCol, k)
+      .select(col("doc_id"), col("span_fp")).distinct()
+    val nSpans = docSpans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val shared = docSpans
+      .groupBy("span_fp")
+      .agg(graft.expressions.CappedCollectList(col("doc_id"), maxBucket + 1).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .filter(col("shared_spans") >= minShared)
+    shared
+      .join(nSpans.select(col("doc_id").as("id_a"), col("n_spans").as("n_spans_a")), Seq("id_a"))
+      .join(nSpans.select(col("doc_id").as("id_b"), col("n_spans").as("n_spans_b")), Seq("id_b"))
+      .withColumn("containment_ppm",
+        expr("shared_spans * 1000000L div least(n_spans_a, n_spans_b)"))
+      .select("id_a", "id_b", "shared_spans", "containment_ppm")
+  }
+
   /** Remove duplicated spans (the published pipelines' "all but one copy"
     * rule): every word covered by a NON-CANONICAL duplicated-span
     * occurrence is dropped, where the canonical occurrence of a span is

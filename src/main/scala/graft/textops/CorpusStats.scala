@@ -265,6 +265,50 @@ object CorpusStats {
       .withColumn("mean_freq_ppm", expr("sum_freq * 1000000L div n_bg"))
   }
 
+  /** Per-group distribution drift vs the whole corpus: the two-sample
+    * Kolmogorov–Smirnov statistic (max CDF gap) over bucketed values, in
+    * integer ppm — the "did this source's length/quality profile shift"
+    * monitor. 100 TB shape: the corpus collapses to a (group, bucket)
+    * histogram via partial+final counts BEFORE any window; the CDF windows
+    * run over the |groups|·|buckets| grid only (bucket count is bounded by
+    * construction: value div bucketWidth), and the corpus-wide CDF frame
+    * broadcasts to it. Integer-only arithmetic — both engines reproduce
+    * every ppm exactly.
+    *
+    * @return (groupCol, n_docs, ks_ppm) — ks_ppm = max over buckets of
+    *         |1e6·cdf_group − 1e6·cdf_corpus|.
+    */
+  def distributionDrift(
+      docs: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val hist = docs
+      .select(col(groupCol).as("g"), expr(s"$valueCol div $bucketWidth").as("bkt"))
+      .groupBy("g", "bkt").agg(count(lit(1)).as("n"))
+    val buckets = hist.select("bkt").distinct()
+    val groups = hist.groupBy("g").agg(sum("n").as("n_g"))
+    // corpus CDF over the bounded bucket grid (the global window ranks
+    // |buckets| aggregated rows, never raw docs)
+    val all = buckets
+      .join(hist.groupBy("bkt").agg(sum("n").as("n_b")), Seq("bkt"), "left")
+      .na.fill(0L, Seq("n_b"))
+      .withColumn("cum_all", sum("n_b").over(Window.orderBy("bkt")))
+    val totAll = hist.agg(sum("n").as("n_all")) // one row
+    val grid = groups.crossJoin(broadcast(buckets))
+      .join(hist, Seq("g", "bkt"), "left").na.fill(0L, Seq("n"))
+      .withColumn("cum_g", sum("n").over(Window.partitionBy("g").orderBy("bkt")))
+    grid
+      .join(broadcast(all.select("bkt", "cum_all")), Seq("bkt"))
+      .crossJoin(broadcast(totAll))
+      .withColumn("gap_ppm", abs(
+        expr("cum_g * 1000000L div n_g") - expr("cum_all * 1000000L div n_all")))
+      .groupBy(col("g").as(groupCol))
+      .agg(max("gap_ppm").as("ks_ppm"), first(col("n_g")).as("n_docs"))
+      .select(col(groupCol), col("n_docs"), col("ks_ppm"))
+  }
+
   def heavyTerms(docs: DataFrame, groupCol: String, m: Int, k: Int): DataFrame = {
     require(k > 0 && k <= m, s"need 0 < k <= m, got k=$k m=$m")
     val summary = docs

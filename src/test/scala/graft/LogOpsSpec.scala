@@ -290,6 +290,19 @@ class LogOpsSpec extends AnyFunSuite {
     assert(!out.exists(t => t._1 == "e"), "minCount must gate hapax pairs")
   }
 
+  test("distributionDrift: exact two-sample KS ppm over the bucket grid") {
+    val docs = Seq(
+      (1L, "x", 10L), (2L, "x", 20L),   // both bucket 0
+      (3L, "y", 100L), (4L, "y", 130L)) // both bucket 1 (width 64)
+      .toDF("doc_id", "source", "n_chars")
+    // corpus CDF: bkt0 = 0.5, bkt1 = 1.0
+    // x CDF: 1.0, 1.0 → max gap 0.5; y CDF: 0.0, 1.0 → max gap 0.5
+    val out = CorpusStats.distributionDrift(docs, "source", "n_chars", 64L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("x") == ((2L, 500000L)))
+    assert(out("y") == ((2L, 500000L)))
+  }
+
   test("bigramFluency: mean corpus-bigram frequency, integer ppm") {
     val docs = Seq(
       (1L, "a b c"),   // bigrams: "a b", "b c"

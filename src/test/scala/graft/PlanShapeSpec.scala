@@ -442,4 +442,67 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodes.exists(n => n.nodeName.contains("HashJoin") || n.nodeName.contains("SortMergeJoin")),
       "expected a hash/sort-merge equi-join on (key, bucket)")
   }
+
+  test("fitEncode: TakeOrdered vocab election, broadcast re-encode, no corpus sort-merge") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"w${i % 37} w${i % 11} w${i % 5}")).toDF("doc_id", "text")
+    val out = graft.textops.Vocab.fitEncode(docs, vocabK = 10)
+    val nodes = executedNodes(out)
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"vocab election must be a bounded heap, not a global sort:\n${out.queryExecution.executedPlan}")
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")) &&
+      !nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "the <=K-row vocabulary must broadcast to the exploded token stream")
+  }
+
+  test("chunk is shuffle-free narrow arithmetic") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val out = graft.textops.Vocab.chunk(docs, chunkSize = 2)
+    val nodes = executedNodes(out)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      s"chunk layout must not exchange:\n${out.queryExecution.executedPlan}")
+  }
+
+  test("quantizedTopK: one aggregate exchange, no window, no corpus sort") {
+    import spark.implicits._
+    val emb = (1L to 400L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8.0 + j).toFloat))).toDF("vec_id", "embedding")
+    val out = graft.ann.Ann.quantizedTopK(emb, emb.filter(col("vec_id") < 2), k = 5)
+    val nodes = executedNodes(out)
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      s"quantized top-k must use the bounded-heap aggregate, not a ranking window:\n${out.queryExecution.executedPlan}")
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "query side must broadcast; the corpus must never shuffle on a join key")
+    val shuffles = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s }
+    assert(shuffles.length <= 1,
+      s"expected at most the final-aggregate exchange, got ${shuffles.length}")
+  }
+
+  test("priority dedup and quantized centroids aggregate partial+final, windowless") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (s"d$i", s"text ${i % 50}", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val pd = graft.dedup.Dedup.exactByPreference(docs,
+      when(col("source") === "src1", 0L).otherwise(1L))
+    val pdNodes = executedNodes(pd)
+    // struct-typed min is not hash-aggregable → Spark plans SortAggregate;
+    // the partial (map-side) + final structure is what matters here
+    assert(pdNodes.count(_.nodeName.contains("Aggregate")) >= 2,
+      s"keeper election must have a map-side partial step:\n${pd.queryExecution.executedPlan}")
+    assert(pdNodes.map(_.toString).mkString.contains("partial_min"),
+      "keeper election must combine map-side before the shuffle")
+    assert(!pdNodes.exists(_.nodeName.contains("Window")),
+      "keeper election must not rank with a window")
+
+    val emb = (1L to 400L).map(i =>
+      (i, Array.tabulate(4)(j => math.sin(i * 4.0 + j).toFloat), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val qc = graft.ann.Ann.quantizedCentroids(emb)
+    val qcNodes = executedNodes(qc)
+    assert(qcNodes.count(_.nodeName.contains("HashAggregate")) >= 2,
+      s"centroid sums must combine map-side:\n${qc.queryExecution.executedPlan}")
+    assert(!qcNodes.exists(_.nodeName.contains("Window")))
+  }
 }

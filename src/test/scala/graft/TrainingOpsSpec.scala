@@ -261,6 +261,22 @@ class DedupSpec extends AnyFunSuite {
     assert(og("o3") == 8L, "o3's Y occurrence is non-canonical and removed")
   }
 
+  test("containment pairs: embedded doc scores full containment; strangers absent") {
+    import spark.implicits._
+    val a = (1 to 10).map(i => s"w$i").mkString(" ") // 3 8-word spans
+    val df = Seq(
+      (1L, a),
+      (2L, ((1 to 5).map(i => s"x$i") ++ (1 to 10).map(i => s"w$i") ++
+        (1 to 5).map(i => s"y$i")).mkString(" ")), // contains all of doc 1
+      (3L, (1 to 10).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("shared_spans"), r.getAs[Long]("containment_ppm"))).toMap
+    assert(out.size == 1)
+    // doc 1 has 3 spans, all shared → containment 3/min(3,13) = 100%
+    assert(out((1L, 2L)) == ((3L, 1000000L)))
+  }
+
   test("decontaminate: eval-span overlap counts, clean docs absent") {
     import spark.implicits._
     val leak = "one two three four five six seven eight nine ten"
@@ -487,6 +503,39 @@ class AnnSpec extends AnyFunSuite {
     // scale=1.0: round(63.5)=64 (half-up), -127 exact, round(31.75)=32
     assert(q(1L) == Seq(64L, -127L, 32L))
     assert(q(2L) == Seq(0L, 0L, 0L))
+  }
+
+  test("embed dedup: re-scaled copies collide (scale-invariant quantization), zeros group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f)), (2L, Array(1.0f, -2.0f)), // same direction/ratio
+      (3L, Array(1.0f, 1.0f)),
+      (4L, Array(0f, 0f)), (5L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val out = Ann.embedExactDedup(df).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("keeper_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((1L, true))) // per-vector max-abs scale is scale-invariant
+    assert(out(3L) == ((3L, false)))
+    assert(out(4L) == ((4L, false)))
+    assert(out(5L) == ((4L, true)))
+  }
+
+  test("quantized diversity: sum-vector identity matches the explicit pair sum") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0f), 1), (2L, Array(0f, 1.0f), 1), (3L, Array(1.0f, 1.0f), 1),
+      (4L, Array(1.0f, 0f), 2)) // singleton label → excluded
+      .toDF("vec_id", "embedding", "label")
+    // label 1 quantized: (127,0),(0,127),(127,127); S=(254,254) → sum_sq=129032
+    // self_sq = 16129+16129+32258 = 64516; ordered-pair dot sum = 129032-64516
+    // = 64516 = 2·(0 + 16129 + 16129) ✓; mean_milli = floor(64516000/6)
+    val out = Ann.quantizedDiversity(df).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_sq"), r.getAs[Long]("self_sq"),
+          r.getAs[Long]("mean_pair_dot_milli"))).toMap
+    assert(out.size == 1)
+    assert(out(1) == ((3L, 129032L, 64516L, 10752666L)))
   }
 
   test("quantized centroids: exact integer sums per (label, dim)") {
