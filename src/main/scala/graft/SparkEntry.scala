@@ -1127,6 +1127,22 @@ object SparkEntry {
 
   private val EmbDim = 64 // driver testdata embedding dim (all SFs)
 
+  /** int8-quantization CTE (mirrors Ann.quantizeInt8 exactly: per-vector
+    * max-abs scale, round(127·v/s), zero vector → zeros) — ONE definition
+    * for every quantized-embedding oracle, parameterized by the carried
+    * column (vec_id or label). A rounding-mode change in quantizeInt8 must
+    * be reflected here ONCE.
+    */
+  private def duckQuantCte(keep: String): String =
+    s"""q8 AS (
+       |  SELECT $keep,
+       |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(embedding,
+       |           x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s) AS BIGINT)) END AS qv
+       |  FROM (SELECT $keep, embedding,
+       |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+       |        FROM embeddings))""".stripMargin
+
   /** Shared CTE: per-vector norm + LSH sign-bit bucket under `planes`. */
   private def duckBucketedEmb(planes: Seq[Seq[Double]]): String = {
     val bucket = planes.zipWithIndex.map { case (_, i) =>
@@ -1924,15 +1940,7 @@ object SparkEntry {
         |) WHERE rank <= 10""".stripMargin,
 
     "q_embed_quantized" ->
-      s"""WITH q8 AS (
-         |  SELECT vec_id,
-         |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-         |         ELSE list_transform(embedding,
-         |           x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s) AS BIGINT)) END AS qv
-         |  FROM (SELECT vec_id, embedding,
-         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
-         |        FROM embeddings)
-         |), scored AS (
+      s"""WITH ${duckQuantCte("vec_id")}, scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    list_reduce(list_transform(range(1, ${EmbDim + 1}),
          |      i -> q.qv[i] * c.qv[i]), (x, y) -> x + y) AS qdot,
@@ -1956,15 +1964,7 @@ object SparkEntry {
          |) WHERE rank <= 10""".stripMargin,
 
     "q_label_centroids" ->
-      s"""WITH q8 AS (
-         |  SELECT label,
-         |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-         |         ELSE list_transform(embedding,
-         |           x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s) AS BIGINT)) END AS qv
-         |  FROM (SELECT label, embedding,
-         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
-         |        FROM embeddings)
-         |)
+      s"""WITH ${duckQuantCte("label")}
          |SELECT label, dim, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n,
          |  CAST(floor(CAST(sum(q) AS DOUBLE) * 1000.0 / count(*)) AS BIGINT)
          |    AS centroid_milli
@@ -1973,15 +1973,7 @@ object SparkEntry {
          |GROUP BY 1, 2""".stripMargin,
 
     "q_embed_dedup" ->
-      """WITH q8 AS (
-        |  SELECT vec_id,
-        |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(embedding,
-        |           x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s) AS BIGINT)) END AS qv
-        |  FROM (SELECT vec_id, embedding,
-        |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
-        |        FROM embeddings)
-        |)
+      s"""WITH ${duckQuantCte("vec_id")}
         |SELECT vec_id, keeper_id, CAST(vec_id <> keeper_id AS BIGINT) AS is_dup
         |FROM (
         |  SELECT vec_id, min(vec_id) OVER (
@@ -1989,15 +1981,7 @@ object SparkEntry {
         |  FROM q8)""".stripMargin,
 
     "q_embed_diversity" ->
-      s"""WITH q8 AS (
-         |  SELECT label,
-         |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-         |         ELSE list_transform(embedding,
-         |           x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s) AS BIGINT)) END AS qv
-         |  FROM (SELECT label, embedding,
-         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
-         |        FROM embeddings)
-         |), sums AS (
+      s"""WITH ${duckQuantCte("label")}, sums AS (
          |  SELECT label, CAST(sum(sd * sd) AS BIGINT) AS sum_sq
          |  FROM (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sd
          |        FROM (SELECT label, UNNEST(range(0, $EmbDim)) AS dim,

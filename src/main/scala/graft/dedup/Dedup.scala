@@ -133,15 +133,24 @@ object Dedup {
     * anyway; run [[exact]] first.
     */
   private[graft] def bandedPairs(banded: DataFrame, maxBucket: Int): DataFrame =
-    banded
-      .groupBy("band_key")
-      .agg(graft.expressions.CappedCollectList(col("id"), maxBucket + 1).as("ids"))
+    cappedPairExpansion(banded, "band_key", "id", maxBucket).distinct()
+
+  /** The capped gather + in-row unordered-pair expansion itself, ONE
+    * definition (the cap/saturation invariant must not fork): gather ≤
+    * maxBucket+1 ids per key through the bounded buffer, drop saturated
+    * buckets, expand (id_a < id_b) pairs inside the bucket row. Callers
+    * dedup ([[bandedPairs]]) or count ([[containmentPairs]]) downstream.
+    */
+  private def cappedPairExpansion(
+      df: DataFrame, keyCol: String, idCol: String, maxBucket: Int): DataFrame =
+    df
+      .groupBy(keyCol)
+      .agg(graft.expressions.CappedCollectList(col(idCol), maxBucket + 1).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), x =>
         transform(filter(col("ids"), y => y > x),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
 
   /** Join candidate pairs back to their (heavy) shingle sets and keep the
     * exact-Jaccard survivors — the verification stage shared by both
@@ -754,14 +763,8 @@ object Dedup {
     val docSpans = spanOccurrences(df, idCol, textCol, k)
       .select(col("doc_id"), col("span_fp")).distinct()
     val nSpans = docSpans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val shared = docSpans
-      .groupBy("span_fp")
-      .agg(graft.expressions.CappedCollectList(col("doc_id"), maxBucket + 1).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("ids"), x =>
-        transform(filter(col("ids"), y => y > x),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val shared = cappedPairExpansion(docSpans, "span_fp", "doc_id", maxBucket)
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_spans"))
       .filter(col("shared_spans") >= minShared)
     shared

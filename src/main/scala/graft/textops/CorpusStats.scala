@@ -284,8 +284,13 @@ object CorpusStats {
       valueCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // FLOOR division (DuckDB `//` parity): a truncating `div` would fold
+    // -w+1..w-1 into one double-width bucket straddling zero for signed
+    // value columns
+    val bkt = expr(s"CASE WHEN $valueCol >= 0 THEN $valueCol div $bucketWidth " +
+      s"ELSE -((-($valueCol) + $bucketWidth - 1) div $bucketWidth) END")
     val hist = docs
-      .select(col(groupCol).as("g"), expr(s"$valueCol div $bucketWidth").as("bkt"))
+      .select(col(groupCol).as("g"), bkt.as("bkt"))
       .groupBy("g", "bkt").agg(count(lit(1)).as("n"))
     val buckets = hist.select("bkt").distinct()
     val groups = hist.groupBy("g").agg(sum("n").as("n_g"))

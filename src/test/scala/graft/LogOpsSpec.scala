@@ -292,15 +292,30 @@ class LogOpsSpec extends AnyFunSuite {
 
   test("distributionDrift: exact two-sample KS ppm over the bucket grid") {
     val docs = Seq(
-      (1L, "x", 10L), (2L, "x", 20L),   // both bucket 0
-      (3L, "y", 100L), (4L, "y", 130L)) // both bucket 1 (width 64)
+      (1L, "x", 10L), (2L, "x", 20L),   // both bucket 0 (width 64)
+      (3L, "y", 100L), (4L, "y", 130L)) // buckets 1 and 2 → grid {0,1,2}
       .toDF("doc_id", "source", "n_chars")
-    // corpus CDF: bkt0 = 0.5, bkt1 = 1.0
-    // x CDF: 1.0, 1.0 → max gap 0.5; y CDF: 0.0, 1.0 → max gap 0.5
+    // corpus CDF over the grid: 0.5, 0.75, 1.0
+    // x CDF: 1, 1, 1 → gaps 0.5, 0.25, 0 → max 0.5
+    // y CDF: 0, 0.5, 1 → gaps 0.5, 0.25, 0 → max 0.5 (y exercises the
+    // bucket-0 hole in the grid: its CDF must be evaluated there too)
     val out = CorpusStats.distributionDrift(docs, "source", "n_chars", 64L)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out("x") == ((2L, 500000L)))
     assert(out("y") == ((2L, 500000L)))
+  }
+
+  test("distributionDrift floors negative values into their own buckets (DuckDB // parity)") {
+    val docs = Seq(
+      (1L, "x", -1L), (2L, "x", -64L), // both floor to bucket -1
+      (3L, "y", 0L), (4L, "y", -65L))  // buckets 0 and -2 → grid {-2,-1,0}
+      .toDF("doc_id", "source", "v")
+    // corpus CDF over sorted grid [-2,-1,0]: 0.25, 0.75, 1.0
+    // x CDF: 0, 1, 1 → gaps 0.25, 0.25, 0; y CDF: 0.5, 0.5, 1 → same max
+    val out = CorpusStats.distributionDrift(docs, "source", "v", 64L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("x") == 250000L)
+    assert(out("y") == 250000L)
   }
 
   test("bigramFluency: mean corpus-bigram frequency, integer ppm") {
