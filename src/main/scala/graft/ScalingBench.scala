@@ -19,6 +19,10 @@ import org.apache.spark.sql.{Observation, SparkSession}
   *    (star contraction → min-label fixpoint → singleton rejoin) — the
   *    iterative workload, whose driver-scheduled rounds put a fixed-cost
   *    floor under the wall time; default 4M rows.
+  *  - `fluency`: the text-JOIN workload — corpus bigram table
+  *    (partial+final count) + bigram-keyed equi-join + per-doc rollup
+  *    (CorpusStats.bigramFluency); default 2M rows.
+  *  - `sessionize`: the logops shuffle+sort workload; default 64M events.
   *
   * Method notes:
   *  - input is materialized to parquet once and re-read (generation cost
@@ -48,6 +52,7 @@ object ScalingBench {
     val workload = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORKLOAD", "flagship")
     val defaultRows = workload match {
       case "dedup" | "cluster" => "4000000"
+      case "fluency" => "2000000" // two bigram-keyed shuffles per doc
       case "sessionize" => "64000000" // shuffle+sort per event, no regex/md5
       case _ => "256000000"
     }
@@ -70,7 +75,8 @@ object ScalingBench {
     val genSession = ScalingBenchLevel.session(big)
     val inputPath = workload match {
       case "flagship" => Synth.materialize(genSession, rows, workDir)
-      case "dedup" | "cluster" => Synth.materializeDocuments(genSession, rows, workDir)
+      case "dedup" | "cluster" | "fluency" =>
+        Synth.materializeDocuments(genSession, rows, workDir)
       case "sessionize" => Synth.materializeEvents(genSession, rows, workDir)
       case other => throw new IllegalArgumentException(s"unknown workload: $other")
     }
@@ -147,7 +153,7 @@ object ScalingBenchLevel {
     // sessionize sorts every key partition (window carry): 4×cores
     // partitions bound per-task sort buffers, same rationale as cluster
     val spark = session(k,
-      if (workload == "cluster" || workload == "sessionize") 4 * k else k)
+      if (Set("cluster", "sessionize", "fluency")(workload)) 4 * k else k)
     val df = spark.read.parquet(inputPath)
 
     val once: () => (Double, Long) = workload match {
@@ -198,6 +204,18 @@ object ScalingBenchLevel {
           clusters.count()
           val sec = (System.nanoTime() - t0) / 1e9
           graft.dedup.Dedup.releaseClusters(clusters)
+          (sec, inputRows)
+        }
+      case "fluency" =>
+        // the text-JOIN family's representative: corpus bigram table
+        // (partial+final count over the exploded bigrams) + bigram-keyed
+        // equi-join back to the probe side (AQE skew-split on stopword
+        // pairs) + per-doc rollup; throughput = input documents/sec
+        val inputRows = df.count()
+        () => {
+          val t0 = System.nanoTime()
+          graft.textops.CorpusStats.bigramFluency(df).count()
+          val sec = (System.nanoTime() - t0) / 1e9
           (sec, inputRows)
         }
       case "sessionize" =>

@@ -195,13 +195,19 @@ object Ann {
     *
     * @return (idCol, keeper_id, is_dup).
     */
+  /** md5 fingerprint of a quantized vector's elements (comma-joined
+    * decimal) — ONE definition shared by the batch ([[embedExactDedup]])
+    * and streaming (`StreamRouter.dedupEmbed`) duplicate-vector faces.
+    */
+  def quantFingerprint(qvec: Column): Column =
+    md5(concat_ws(",", transform(qvec, _.cast("string"))))
+
   def embedExactDedup(
       df: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = quantizeInt8(df.select(col(idCol), col(vecCol)), vecCol, "__qv")
-      .withColumn("__fp",
-        md5(concat_ws(",", transform(col("__qv"), _.cast("string")))))
+      .withColumn("__fp", quantFingerprint(col("__qv")))
     val keepers = q.select(col("__fp").as("__kfp"), col(idCol).as("keeper_id"))
       .groupBy("__kfp").agg(min("keeper_id").as("keeper_id"))
     q.join(keepers, col("__fp") === col("__kfp"))

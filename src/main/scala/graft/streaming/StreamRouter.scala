@@ -73,6 +73,27 @@ object StreamRouter {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming duplicate-VECTOR dedup — the streaming analog of
+    * [[graft.ann.Ann.embedExactDedup]]: each arriving embedding is
+    * int8-quantized (scale-invariant, so re-scaled copies of the same
+    * asset collide) and state keys on the 32-char md5 of the quantized
+    * elements — NEVER the vector, so state size is independent of the
+    * embedding dimension and bounded by delay × ingest-rate like
+    * [[dedupExact]]. Duplicates separated by more than `delay` are the
+    * batch job's responsibility.
+    */
+  def dedupEmbed(
+      stream: DataFrame,
+      tsCol: String,
+      delay: String,
+      vecCol: String = "embedding"): DataFrame =
+    graft.ann.Ann.quantizeInt8(stream, vecCol, "__qv")
+      .withColumn("__fp", graft.ann.Ann.quantFingerprint(col("__qv")))
+      .drop("__qv")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Streaming benchmark decontamination: annotate every document with the
     * number of DISTINCT eval-set k-word spans it contains (and a
     * contamination flag) — the streaming analog of

@@ -67,6 +67,28 @@ class StreamRouterSpec extends AnyFunSuite {
     assert(spark.table("dedup_stream").columns.toSeq == Seq("doc_id", "ts", "text"))
   }
 
+  test("streaming embed dedup: re-scaled duplicate vectors dropped, state keys on fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Array[Float])]
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    val stream = mem.toDF.toDF("vec_id", "ts", "embedding")
+    val deduped = StreamRouter.dedupEmbed(stream, "ts", "10 seconds")
+    mem.addData(
+      ("v1", ts(0), Array(0.5f, -1.0f)),
+      ("v2", ts(1), Array(1.0f, -2.0f)), // re-scaled copy of v1 → dropped
+      ("v3", ts(2), Array(1.0f, 1.0f)),
+      ("v4", ts(3), Array(0.5f, -1.0f))) // exact copy of v1 → dropped
+    val q = deduped.writeStream.format("memory").queryName("embed_dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("embed_dedup_stream").select("vec_id")
+      .as[String].collect().toSet
+    assert(kept == Set("v1", "v3"))
+    // helper columns removed; embedding untouched
+    assert(spark.table("embed_dedup_stream").columns.toSeq ==
+      Seq("vec_id", "ts", "embedding"))
+  }
+
   test("streaming per-sink counts converge to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
