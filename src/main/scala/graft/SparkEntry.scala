@@ -593,6 +593,18 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(37)) === 0))
     }),
 
+    // INCREMENTAL dedup (daily-ingest shape): flag new-batch docs whose
+    // text the sealed corpus already contains; the corpus reduces to one
+    // fingerprint→keeper row per distinct text before the join
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalExact(
+        d.filter(pmod(col("doc_id"), lit(37)) === 0),
+        d.filter(pmod(col("doc_id"), lit(37)) =!= 0))
+        .select(col("doc_id"), col("corpus_keeper"),
+          col("in_corpus").cast("long").as("in_corpus"))
+    }),
+
     // pairs → CLUSTERS: connected components (iterative min-label
     // propagation) over the simhash pair graph; the oracle recomputes the
     // identical pair set and resolves components with a recursive CTE.
@@ -1334,6 +1346,16 @@ object SparkEntry {
         |  FROM spans GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2)
         |SELECT s.doc_id, s.pos, s.span_fp, d.n_docs
         |FROM spans s JOIN dup_fps d USING (span_fp)""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """SELECT n.doc_id,
+        |  coalesce(c.keeper, -1) AS corpus_keeper,
+        |  CAST(c.keeper IS NOT NULL AS BIGINT) AS in_corpus
+        |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0) n
+        |LEFT JOIN (
+        |  SELECT text, min(doc_id) AS keeper
+        |  FROM documents WHERE doc_id % 37 <> 0 GROUP BY 1) c
+        |ON n.text IS NOT DISTINCT FROM c.text""".stripMargin,
 
     "q_containment" ->
       s"""WITH $duckSpans8Ctes,

@@ -738,6 +738,36 @@ object Dedup {
         col("span_fp"), col("n_docs"))
   }
 
+  /** INCREMENTAL exact dedup — the daily-ingest shape: flag each NEW-batch
+    * document whose text already exists in the sealed corpus, with the
+    * corpus keeper's id. The sealed side (orders of magnitude larger than
+    * the increment) reduces to one fingerprint→min-id row per distinct
+    * text via a partial+final aggregate — its text never shuffles and the
+    * reduced frame is what the new batch joins (fp-keyed; at real scale
+    * this is the join you bucket the sealed fingerprint table on, making
+    * every nightly increment exchange-free on the corpus side). Null-safe
+    * join: a null-text increment row matches the corpus' null-text group,
+    * the same null semantics as [[exact]].
+    *
+    * @return newDocs + (corpus_keeper: min corpus id with identical text,
+    *         -1 if unseen; in_corpus: flag).
+    */
+  def incrementalExact(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val seen = corpus.select(fp.as("__cfp"), col(idCol).as("corpus_keeper"))
+      .groupBy("__cfp").agg(min("corpus_keeper").as("corpus_keeper"))
+    newDocs.withColumn("__fp", fp)
+      .join(seen, col("__fp") <=> col("__cfp"), "left")
+      .withColumn("in_corpus", col("corpus_keeper").isNotNull)
+      .withColumn("corpus_keeper", coalesce(col("corpus_keeper"),
+        lit(-1L).cast(newDocs.schema(idCol).dataType))) // sentinel in id's type
+      .drop("__fp", "__cfp")
+  }
+
   /** Cross-document CONTAINMENT pairs: documents sharing ≥ `minShared`
     * distinct k-word spans, scored by containment_ppm = shared /
     * min(n_spans_a, n_spans_b) — the asymmetric overlap measure that

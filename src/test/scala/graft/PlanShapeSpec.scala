@@ -480,6 +480,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected at most the final-aggregate exchange, got ${shuffles.length}")
   }
 
+  test("containment pairs: capped gather only, no unbounded collect_list, no window") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i =>
+      (i, (0 to 12).map(j => s"w${(i % 7) * 13 + j}").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.containmentPairs(docs, k = 8, minShared = 1)
+    val nodes = executedNodes(out)
+    val planStr = nodes.map(_.toString).mkString("\n")
+    assert(planStr.contains("capped_collect_list"),
+      s"bucket gather must be the bounded CappedCollectList:\n$planStr")
+    assert(!"(?<!capped_)collect_list\\(".r.findFirstIn(planStr).isDefined,
+      "no unbounded collect_list may appear in the containment plan")
+    assert(!nodes.exists(_.nodeName.contains("Window")))
+  }
+
+  test("distributionDrift: corpus collapses to the histogram before any window; CDF frames broadcast") {
+    import spark.implicits._
+    val docs = (1L to 5000L).map(i => (i, s"src${i % 5}", (i % 900))).toDF("doc_id", "source", "n_chars")
+    val out = graft.textops.CorpusStats.distributionDrift(docs, "source", "n_chars", 64L)
+    val nodes = executedNodes(out)
+    // the windows must consume aggregated rows: every Window node's child
+    // subtree must contain an aggregate, never the raw scan directly
+    val windows = nodes.filter(_.nodeName.contains("Window"))
+    assert(windows.nonEmpty)
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      s"grid joins must broadcast the bounded frames:\n${out.queryExecution.executedPlan}")
+  }
+
   test("priority dedup and quantized centroids aggregate partial+final, windowless") {
     import spark.implicits._
     val docs = (1L to 500L).map(i => (s"d$i", s"text ${i % 50}", s"src${i % 3}"))

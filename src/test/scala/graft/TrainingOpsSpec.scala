@@ -261,6 +261,21 @@ class DedupSpec extends AnyFunSuite {
     assert(og("o3") == 8L, "o3's Y occurrence is non-canonical and removed")
   }
 
+  test("incremental dedup: corpus keeper surfaced, unseen flagged, nulls group") {
+    import spark.implicits._
+    val corpus = Seq(("c2", Option("alpha")), ("c1", Option("alpha")),
+      ("c3", Option("beta")), ("c4", None)).toDF("doc_id", "text")
+    val fresh = Seq(("n1", Option("alpha")), ("n2", Option("gamma")),
+      ("n3", None)).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(fresh, corpus).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[String]("corpus_keeper"), r.getAs[Boolean]("in_corpus"))).toMap
+    assert(out.size == 3)
+    assert(out("n1") == (("c1", true))) // min corpus id among identical texts
+    assert(out("n2") == (("-1", false)))
+    assert(out("n3") == (("c4", true))) // null text matches the corpus null group
+  }
+
   test("containment pairs: embedded doc scores full containment; strangers absent") {
     import spark.implicits._
     val a = (1 to 10).map(i => s"w$i").mkString(" ") // 3 8-word spans
