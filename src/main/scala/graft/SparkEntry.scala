@@ -605,6 +605,23 @@ object SparkEntry {
           col("in_corpus").cast("long").as("in_corpus"))
     }),
 
+    // INCREMENTAL near-dup: the new batch (doc_id % 3 = 0) LSH-probes the
+    // sealed corpus's band table; per new doc report the best-matching
+    // corpus doc (max jaccard, min corpus id on ties). Corpus-internal
+    // pairs never materialize — md5 family, value-for-value oracle.
+    "q_incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.incrementalNearDupPairs(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0),
+        d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        thresholdPpm = 400000L)
+      pairs.groupBy("doc_id")
+        .agg(min(struct((-col("jaccard_ppm")).as("np"),
+          col("corpus_id").as("cid"))).as("m"))
+        .select(col("doc_id"), col("m.cid").as("dup_of"),
+          (-col("m.np")).as("jaccard_ppm"))
+    }),
+
     // pairs → CLUSTERS: connected components (iterative min-label
     // propagation) over the simhash pair graph; the oracle recomputes the
     // identical pair set and resolves components with a recursive CTE.
@@ -1346,6 +1363,42 @@ object SparkEntry {
         |  FROM spans GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2)
         |SELECT s.doc_id, s.pos, s.span_fp, d.n_docs
         |FROM spans s JOIN dup_fps d USING (span_fp)""".stripMargin,
+
+    "q_incremental_neardup" ->
+      """WITH d0 AS (SELECT doc_id, __WORDS__ AS ws FROM documents),
+        |docsr AS (SELECT doc_id, list_distinct(__SHINGLES__) AS sh FROM d0),
+        |sigs AS (SELECT doc_id,
+        |    list_transform(range(0, 16),
+        |      j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS mh
+        |  FROM docsr),
+        |banded AS (
+        |  SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
+        |      array_to_string(list_transform(range(1, 5), i -> mh[b*4 + i]), '|') AS band_key
+        |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cb AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+        |nb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+        |live AS (SELECT band_key FROM cb GROUP BY band_key HAVING count(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id, c.doc_id AS corpus_id
+        |  FROM nb n
+        |  JOIN live l ON n.band_key = l.band_key
+        |  JOIN cb c ON n.band_key = c.band_key),
+        |verified AS (
+        |  SELECT doc_id, corpus_id, jaccard_ppm FROM (
+        |    SELECT p.doc_id, p.corpus_id,
+        |      CAST(floor(len(list_intersect(x.sh, y.sh)) * 1000000.0
+        |           / len(list_distinct(list_concat(x.sh, y.sh)))) AS BIGINT) AS jaccard_ppm
+        |    FROM cand p
+        |    JOIN docsr x ON p.doc_id = x.doc_id
+        |    JOIN docsr y ON p.corpus_id = y.doc_id
+        |  ) WHERE jaccard_ppm >= 400000),
+        |best AS (SELECT doc_id, max(jaccard_ppm) AS jaccard_ppm
+        |         FROM verified GROUP BY 1)
+        |SELECT v.doc_id, min(v.corpus_id) AS dup_of, b.jaccard_ppm
+        |FROM verified v
+        |JOIN best b ON v.doc_id = b.doc_id AND v.jaccard_ppm = b.jaccard_ppm
+        |GROUP BY v.doc_id, b.jaccard_ppm""".stripMargin
+        .replace("__WORDS__", duckWords).replace("__SHINGLES__", duckShingles3),
 
     "q_incremental_dedup" ->
       """SELECT n.doc_id,

@@ -768,6 +768,75 @@ object Dedup {
       .drop("__fp", "__cfp")
   }
 
+  /** INCREMENTAL near-dup: LSH-probe a NEW batch against the sealed
+    * corpus's MinHash band table — flag near-duplicates of existing
+    * documents WITHOUT re-mining corpus-internal pairs (the daily-ingest
+    * sibling of [[minHashLshPairsPortable]], md5 family so the oracle
+    * reproduces every value). Asymmetric by design: candidates are
+    * new×corpus band-key collisions only; corpus×corpus pairs never
+    * materialize. 100 TB shape: the corpus band table (band_key, id) is
+    * the precomputed artifact you bucket by band_key, so the nightly
+    * increment shuffles only the new batch's (id, band_key) rows; each
+    * corpus bucket is gathered once through the bounded
+    * [[graft.expressions.CappedCollectList]] and saturated (degenerate)
+    * buckets are dropped before any join — a boilerplate band key shared
+    * by 10^8 corpus docs costs maxBucket+1 buffer slots, never a
+    * quadratic candidate set. Verification is exact Jaccard over the
+    * distinct shingle-string sets, same as the batch family.
+    *
+    * @return (idCol, corpus_id, jaccard_ppm): one row per verified
+    *         (new doc, corpus doc) near-dup pair, jaccard_ppm ≥ threshold.
+    */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      thresholdPpm: Long = 700000L,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+
+    def sets(df: DataFrame, idAs: String) = df.select(
+      col(idCol).as(idAs),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+    // same two-step projection as the batch families: the band array
+    // references `mh` `bands` times, which stops CollapseProject from
+    // inlining (and recomputing) the signature per band
+    def bandKeys(withSets: DataFrame, idAs: String) = withSets
+      .select(col(idAs), graft.expressions.Md5MinHashSig(col("sh"), numHashes).as("mh"))
+      .select(col(idAs), explode(array((0 until bands).map(b =>
+        concat(lit(s"$b:"), concat_ws("|", slice(col("mh"), b * r + 1, r)))): _*))
+        .as("band_key"))
+
+    val newSets = sets(newDocs, "id_n")
+    val corpusSets = sets(corpus, "id_c")
+
+    // corpus band table: bounded gather per bucket, drop saturated buckets
+    // (exact-dup territory — run incrementalExact first), re-explode to a
+    // bounded (band_key, id_c) probe table. Singleton buckets stay: one
+    // corpus doc in a bucket can still match a new doc.
+    val corpusBuckets = bandKeys(corpusSets, "id_c")
+      .groupBy("band_key")
+      .agg(graft.expressions.CappedCollectList(col("id_c"), maxBucket + 1).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .select(col("band_key"), explode(col("ids")).as("id_c"))
+
+    val candidates = bandKeys(newSets, "id_n")
+      .join(corpusBuckets, "band_key")
+      .select("id_n", "id_c").distinct()
+
+    candidates
+      .join(newSets, "id_n")
+      .join(corpusSets.withColumnRenamed("sh", "sh_c"), "id_c")
+      .withColumn("jaccard_ppm", jaccardPpm(col("sh"), col("sh_c")))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select(col("id_n").as(idCol), col("id_c").as("corpus_id"), col("jaccard_ppm"))
+  }
+
   /** Cross-document CONTAINMENT pairs: documents sharing ≥ `minShared`
     * distinct k-word spans, scored by containment_ppm = shared /
     * min(n_spans_a, n_spans_b) — the asymmetric overlap measure that

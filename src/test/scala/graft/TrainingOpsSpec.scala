@@ -276,6 +276,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out("n3") == (("c4", true))) // null text matches the corpus null group
   }
 
+  test("incremental near-dup: new batch probes corpus; corpus-internal pairs absent") {
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (101L, base),                         // c-near-dup of 102 (must NOT pair)
+      (102L, base + " w13"),
+      (103L, (50 to 65).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, base + " w14"),                  // near-dup of 101 and 102
+      (2L, (80 to 95).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupPairs(fresh, corpus, thresholdPpm = 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 101L)) && out.contains((1L, 102L)),
+      s"new doc 1 must match both corpus twins, got $out")
+    assert(!out.exists(p => p._1 == 2L), "unique new doc must not match")
+    assert(out.forall(p => Set(1L, 2L)(p._1)),
+      s"left side must always be the NEW batch (no corpus-internal pairs): $out")
+  }
+
   test("containment pairs: embedded doc scores full containment; strangers absent") {
     import spark.implicits._
     val a = (1 to 10).map(i => s"w$i").mkString(" ") // 3 8-word spans
