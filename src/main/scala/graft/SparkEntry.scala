@@ -713,6 +713,18 @@ object SparkEntry {
           col("neighbor_id"))
     }),
 
+    // ANN RECALL@K: the tuning metric — per query, the fraction of exact
+    // top-k neighbors the 6-plane LSH index retrieves (integer ppm).
+    // Answer-sized inputs; the corpus is scanned by the two ANN plans,
+    // never by the recall join itself.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+      Ann.recallAtK(
+        Ann.lshTopK(e, q, k = 10, numPlanes = 6, dim = EmbDim),
+        Ann.bruteForceTopK(e, q, k = 10))
+    }),
+
     // multi-probe ANN: each query also probes the buckets reached by
     // flipping its smallest-|margin| sign bits — the recall lever without
     // extra plane tables; the oracle reproduces margins, flip order and
@@ -1323,6 +1335,34 @@ object SparkEntry {
        | WHERE q.quality >= 40
        |   AND l.lang_pred IN (${curationLangs.map(l => s"'$l'").mkString(", ")}))""".stripMargin
 
+  /** Brute-force exact top-10 oracle (queries vec_id < 3) — shared by
+    * q_embed_topk and, as the ground-truth CTE, q_ann_recall.
+    */
+  private lazy val duckBruteTopKSql: String =
+    """SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (
+      |      PARTITION BY q.vec_id
+      |      ORDER BY floor(list_cosine_similarity(q.embedding, c.embedding) * 1000000.0)
+      |        DESC, c.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+      |) WHERE rank <= 10""".stripMargin
+
+  /** 6-plane LSH ANN top-10 oracle (same queries) — shared by
+    * q_embed_ann_lsh and, as the approximate CTE, q_ann_recall.
+    */
+  private lazy val duckLshAnnSql: String = {
+    val c = duckBucketedEmb(Ann.planes(6, EmbDim))
+    s"""WITH c AS (SELECT * FROM $c)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckSimPpm("q", "c")} DESC, c.vec_id ASC) AS rank
+       |  FROM (SELECT * FROM c WHERE vec_id < 3) q
+       |  JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |) WHERE rank <= 10""".stripMargin
+  }
+
   // ---- DuckDB oracles -----------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
@@ -1530,17 +1570,24 @@ object SparkEntry {
          |JOIN $duckQualitySub q ON d.doc_id = q.doc_id
          |GROUP BY 1""".stripMargin,
 
-    "q_embed_ann_lsh" -> {
-      val c = duckBucketedEmb(Ann.planes(6, EmbDim))
-      s"""WITH c AS (SELECT * FROM $c)
-         |SELECT query_id, rank, neighbor_id FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${duckSimPpm("q", "c")} DESC, c.vec_id ASC) AS rank
-         |  FROM (SELECT * FROM c WHERE vec_id < 3) q
-         |  JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-         |) WHERE rank <= 10""".stripMargin
-    },
+    "q_embed_ann_lsh" -> duckLshAnnSql,
+
+    // recall@k: both ANN results recomputed by their shared oracle
+    // definitions, intersected per query — the two top-k SQLs are the SAME
+    // vals the q_embed_topk / q_embed_ann_lsh oracles use (no drift)
+    "q_ann_recall" ->
+      s"""WITH lsh AS ($duckLshAnnSql),
+         |bf AS ($duckBruteTopKSql),
+         |hits AS (
+         |  SELECT b.query_id, count(*) AS hits
+         |  FROM bf b JOIN lsh a
+         |    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+         |  GROUP BY 1),
+         |truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY 1)
+         |SELECT t.query_id, coalesce(h.hits, 0) AS hits, t.n_true,
+         |  CAST(floor(coalesce(h.hits, 0) * 1000000.0 / t.n_true) AS BIGINT)
+         |    AS recall_ppm
+         |FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id""".stripMargin,
 
     "q_embed_neardup" -> duckEmbedPairsSql,
 
@@ -2004,15 +2051,7 @@ object SparkEntry {
         |WHERE len(list_intersect(a.ws, b.ws)) * 1000000.0
         |      / len(list_distinct(list_concat(a.ws, b.ws))) >= 400000""".stripMargin,
 
-    "q_embed_topk" ->
-      """SELECT query_id, rank, neighbor_id FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    row_number() OVER (
-        |      PARTITION BY q.vec_id
-        |      ORDER BY floor(list_cosine_similarity(q.embedding, c.embedding) * 1000000.0)
-        |        DESC, c.vec_id ASC) AS rank
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
-        |) WHERE rank <= 10""".stripMargin,
+    "q_embed_topk" -> duckBruteTopKSql,
 
     "q_embed_quantized" ->
       s"""WITH ${duckQuantCte("vec_id")}, scored AS (

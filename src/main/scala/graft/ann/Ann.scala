@@ -489,4 +489,32 @@ object Ann {
       .filter(col("sim_ppm") >= thresholdPpm)
       .select("id_a", "id_b", "sim_ppm")
   }
+
+  /** Recall@k of an approximate neighbor result against the exact one —
+    * THE tuning metric for every ANN variant here (planes/probes/nProbe
+    * trade recall for candidate volume; this measures what a setting buys).
+    * Per query: hits = |approx ∩ exact|, recall_ppm = hits/|exact| (integer
+    * ppm). Queries the approximate index missed entirely (empty bucket)
+    * report recall 0, not absence. Both inputs are answer-sized
+    * (queries × k rows — the corpus never enters), so the composite-key
+    * semi join and the partial+final counts are trivially cheap at any
+    * corpus scale; cost lives in producing the inputs.
+    *
+    * @param approx (query_id, neighbor_id, ...) approximate top-k rows.
+    * @param exact  (query_id, neighbor_id, ...) ground-truth top-k rows.
+    * @return (query_id, hits, n_true, recall_ppm).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val truth = exact.select("query_id", "neighbor_id")
+    val hits = truth
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("n_true"),
+        graft.textops.TextFunctions.ppm(
+          coalesce(col("hits"), lit(0L)), col("n_true")).as("recall_ppm"))
+  }
 }

@@ -415,6 +415,18 @@ class AnnSpec extends AnyFunSuite {
   private lazy val emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
 
+  test("recallAtK: hit counting, missed-query zero, answer-sized join") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 11L), (1L, 99L), (1L, 12L)) // query 2 missed entirely
+      .toDF("query_id", "neighbor_id")
+    val out = Ann.recallAtK(approx, exact).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 3L, 666666L))) // 2 of 3 true neighbors found
+    assert(out(2L) == ((0L, 2L, 0L)))      // missed query reports 0, not absence
+  }
+
   test("brute force top-k: ranks are exact vs driver-side recomputation") {
     val queries = emb.filter(col("vec_id") < 2)
     val got = Ann.bruteForceTopK(emb, queries, k = 5).collect()
