@@ -94,6 +94,28 @@ object StreamRouter {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming INCREMENTAL dedup vs a SEALED corpus — the streaming face of
+    * [[graft.dedup.Dedup.incrementalExact]], and a literal delegation to it:
+    * the plan is a stream-static left join, which Structured Streaming
+    * executes STATELESSLY (the static corpus side is planned per
+    * micro-batch; no join state accrues on the stream side), so unlike
+    * [[dedupExact]] this needs no watermark and recognizes duplicates of
+    * ANY age — the corpus is the memory. The static side reduces to one
+    * fingerprint→keeper row per distinct text before the join, exactly as
+    * in batch; at real scale that reduced fingerprint table is the bucketed
+    * artifact, re-read cheaply each micro-batch. Complementary split:
+    * [[dedupExact]] catches intra-stream duplicates within the watermark,
+    * this face catches stream-vs-corpus duplicates across all time.
+    *
+    * @return stream + (corpus_keeper, in_corpus), same contract as batch.
+    */
+  def incrementalDedup(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.dedup.Dedup.incrementalExact(stream, corpus, idCol, textCol)
+
   /** Streaming benchmark decontamination: annotate every document with the
     * number of DISTINCT eval-set k-word spans it contains (and a
     * contamination flag) — the streaming analog of

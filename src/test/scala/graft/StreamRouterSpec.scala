@@ -157,6 +157,30 @@ class StreamRouterSpec extends AnyFunSuite {
     assert(batch == got.filter(_._2 > 0L))
   }
 
+  test("streaming incremental dedup ≡ batch incrementalExact, stateless stream-static join") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(("c2", "alpha"), ("c1", "alpha"), ("c3", "beta"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(("n1", "alpha"), ("n2", "gamma"), ("n3", "beta"))
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    val out = StreamRouter.incrementalDedup(stream, corpus)
+    mem.addData(fresh: _*)
+    val q = out.writeStream.format("memory").queryName("incdedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("incdedup_stream")
+      .select("doc_id", "corpus_keeper", "in_corpus")
+      .as[(String, String, Boolean)].collect().toSet
+    val batch = graft.dedup.Dedup.incrementalExact(
+      fresh.toDF("doc_id", "text"), corpus)
+      .select("doc_id", "corpus_keeper", "in_corpus")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(got == batch && got == Set(
+      ("n1", "c1", true), ("n2", "-1", false), ("n3", "c3", true)))
+  }
+
   test("streaming sessionization: closed sessions ≡ batch aggregates, timeout closes idle state") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
