@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 object Bench {
 
   /** Bench-only extras: the PRODUCTION (xxhash64) sketch variants and the
@@ -9,7 +10,6 @@ object Bench {
     * differentials, so no oracle entry is owed).
     */
   private def extras: Map[String, (SparkSession, String) => DataFrame] = {
-    import org.apache.spark.sql.functions.col
     // SparkEntry's readers, so the fast variants get the same
     // single-row-group spread as the md5 twins they are compared against
     Map(
@@ -17,6 +17,13 @@ object Bench {
         graft.dedup.Dedup.minHashLshPairs(SparkEntry.docs(s, dir), thresholdPpm = 400000L)),
       "x_dedup_simhash_fast" -> ((s, dir) =>
         graft.dedup.Dedup.simHashPairs(SparkEntry.docs(s, dir), maxHamming = 12)),
+      "x_incremental_neardup_fast" -> ((s, dir) => {
+        val d = SparkEntry.docs(s, dir)
+        graft.dedup.Dedup.incrementalNearDupPairsFast(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0),
+          d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          thresholdPpm = 400000L)
+      }),
       "x_embed_ann_multiprobe" -> ((s, dir) => {
         val e = SparkEntry.emb(s, dir)
         graft.ann.Ann.lshTopK(e, e.filter(col("vec_id") < 3),

@@ -814,7 +814,6 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-
     def sets(df: DataFrame, idAs: String) = df.select(
       col(idCol).as(idAs),
       array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
@@ -826,10 +825,52 @@ object Dedup {
       .select(col(idAs), explode(array((0 until bands).map(b =>
         concat(lit(s"$b:"), concat_ws("|", slice(col("mh"), b * r + 1, r)))): _*))
         .as("band_key"))
+    incrementalNearDupCore(sets(newDocs, "id_n"), sets(corpus, "id_c"),
+      bandKeys, idCol, thresholdPpm, maxBucket)
+  }
 
-    val newSets = sets(newDocs, "id_n")
-    val corpusSets = sets(corpus, "id_c")
+  /** [[incrementalNearDupPairs]] under the PRODUCTION xxhash64 hash family —
+    * same plan shape, one codegen'd hash pass instead of one md5 per
+    * shingle per signature slot (the md5 cost buys the portable variant its
+    * full value oracle; this twin is what a deployment runs, pinned by the
+    * shared-core structure + the family differentials in SketchExprSpec).
+    */
+  def incrementalNearDupPairsFast(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      thresholdPpm: Long = 700000L,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def sets(df: DataFrame, idAs: String) = df.select(
+      col(idCol).as(idAs),
+      graft.expressions.ShingleHashes(col(textCol), shingleSize).as("sh"))
+    def bandKeys(withSets: DataFrame, idAs: String) = withSets
+      .select(col(idAs), minHashFromHashes(col("sh"), numHashes).as("mh"))
+      .select(col(idAs), explode(array((0 until bands).map(b =>
+        xxhash64(slice(col("mh"), b * r + 1, r), lit(b))): _*)).as("band_key"))
+    incrementalNearDupCore(sets(newDocs, "id_n"), sets(corpus, "id_c"),
+      bandKeys, idCol, thresholdPpm, maxBucket)
+  }
 
+  /** The family-independent incremental-LSH probe: corpus band table →
+    * bounded gather → new×corpus candidates → exact-Jaccard verify. ONE
+    * definition so the portable and production variants cannot drift on
+    * the cap/saturation invariant or the asymmetry (corpus-internal pairs
+    * never materialize).
+    */
+  private def incrementalNearDupCore(
+      newSets: DataFrame,
+      corpusSets: DataFrame,
+      bandKeys: (DataFrame, String) => DataFrame,
+      idCol: String,
+      thresholdPpm: Long,
+      maxBucket: Int): DataFrame = {
     // corpus band table: bounded gather per bucket, drop saturated buckets
     // (exact-dup territory — run incrementalExact first), re-explode to a
     // bounded (band_key, id_c) probe table. Singleton buckets stay: one

@@ -480,6 +480,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected at most the final-aggregate exchange, got ${shuffles.length}")
   }
 
+  test("fingerprint joins are plain equi-joins on a non-null long (no null-safe wrapper)") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, if (i % 7 == 0) null else s"text ${i % 40}"))
+      .toDF("doc_id", "text")
+    for (out <- Seq(
+        graft.dedup.Dedup.exact(docs),
+        graft.dedup.Dedup.incrementalExact(
+          docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0)))) {
+      val planStr = out.queryExecution.executedPlan.toString
+      // a null-safe key would appear as a coalesce/isnull-wrapped join key
+      // or a residual <=> condition and forfeit the primitive-long fast path
+      assert(!planStr.contains("<=>"),
+        s"fingerprint join regressed to null-safe equality:\n$planStr")
+      assert(out.count() == (if (out.columns.contains("is_dup")) 200 else 100))
+    }
+  }
+
   test("containment pairs: capped gather only, no unbounded collect_list, no window") {
     import spark.implicits._
     val docs = (1L to 300L).map(i =>

@@ -295,6 +295,19 @@ class DedupSpec extends AnyFunSuite {
       s"left side must always be the NEW batch (no corpus-internal pairs): $out")
   }
 
+  test("incremental near-dup fast (xxhash64): same contract as the portable family") {
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((101L, base), (102L, base + " w13"),
+      (103L, (50 to 65).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val fresh = Seq((1L, base + " w14"),
+      (2L, (80 to 95).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupPairsFast(fresh, corpus, thresholdPpm = 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 101L)) && out.contains((1L, 102L)))
+    assert(out.forall(p => Set(1L, 2L)(p._1)) && !out.exists(_._1 == 2L))
+  }
+
   test("containment pairs: embedded doc scores full containment; strangers absent") {
     import spark.implicits._
     val a = (1 to 10).map(i => s"w$i").mkString(" ") // 3 8-word spans
