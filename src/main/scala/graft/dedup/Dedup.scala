@@ -23,20 +23,6 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
-  /** Exact dedup: annotate every row with the elected keeper (min id among
-    * identical texts) and a dup flag. Keeper election is `groupBy(fp).agg(min)`
-    * — the partial (map-side) aggregate collapses every local copy of a
-    * duplicated document to ONE row before the shuffle, so a document
-    * duplicated 10^8 times (the common case in web corpora: boilerplate,
-    * error pages) costs one row per map task, not one task holding all
-    * copies. (The window formulation `min(id) over (partition by fp)` has no
-    * partial step: the hot fingerprint's every copy lands in a single task.)
-    * The join back is fp→keeper on the same key; AQE skew-join splits the
-    * probe side of any residual hot key. Text itself never shuffles
-    * (fingerprint only). Collision note: 64-bit FNV over 10^12 docs has
-    * birthday-collision risk ~3%; for strict guarantees swap the fingerprint
-    * for sha2(text, 256) — semantics are identical.
-    */
   /** Non-null JOIN-KEY fingerprint: null text maps to a reserved sentinel
     * instead of a null fingerprint. This keeps the all-nulls-are-ONE-group
     * semantics the null-safe (`<=>`) formulation had — null texts still
@@ -52,6 +38,20 @@ object Dedup {
   private def fpKey(textCol: String): Column =
     coalesce(TextFunctions.fingerprint(col(textCol)), lit(Long.MinValue))
 
+  /** Exact dedup: annotate every row with the elected keeper (min id among
+    * identical texts) and a dup flag. Keeper election is `groupBy(fp).agg(min)`
+    * — the partial (map-side) aggregate collapses every local copy of a
+    * duplicated document to ONE row before the shuffle, so a document
+    * duplicated 10^8 times (the common case in web corpora: boilerplate,
+    * error pages) costs one row per map task, not one task holding all
+    * copies. (The window formulation `min(id) over (partition by fp)` has no
+    * partial step: the hot fingerprint's every copy lands in a single task.)
+    * The join back is fp→keeper on the same key; AQE skew-join splits the
+    * probe side of any residual hot key. Text itself never shuffles
+    * (fingerprint only). Collision note: 64-bit FNV over 10^12 docs has
+    * birthday-collision risk ~3%; for strict guarantees swap the fingerprint
+    * for sha2(text, 256) — semantics are identical.
+    */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = fpKey(textCol)
     val keepers = df

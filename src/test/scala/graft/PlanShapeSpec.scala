@@ -512,14 +512,24 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("distributionDrift: corpus collapses to the histogram before any window; CDF frames broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
     import spark.implicits._
     val docs = (1L to 5000L).map(i => (i, s"src${i % 5}", (i % 900))).toDF("doc_id", "source", "n_chars")
     val out = graft.textops.CorpusStats.distributionDrift(docs, "source", "n_chars", 64L)
     val nodes = executedNodes(out)
     // the windows must consume aggregated rows: every Window node's child
     // subtree must contain an aggregate, never the raw scan directly
-    val windows = nodes.filter(_.nodeName.contains("Window"))
+    val windows = nodes.collect { case w: WindowExec => w }
     assert(windows.nonEmpty)
+    def subtreeHasAggBeforeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.nodeName.contains("HashAggregate") ||
+        (p.children.nonEmpty && p.children.forall(subtreeHasAggBeforeScan)) ||
+        p.nodeName.contains("QueryStage") && subtreeHasAggBeforeScan(
+          p.asInstanceOf[org.apache.spark.sql.execution.adaptive.QueryStageExec].plan)
+    assert(windows.forall(w => w.children.forall(subtreeHasAggBeforeScan)),
+      s"a Window consumes raw rows (no aggregate below it):\n${out.queryExecution.executedPlan}")
+    assert(nodes.exists(_.toString.contains("partial_count")),
+      "raw rows must collapse via a partial+final histogram count first")
     assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
       s"grid joins must broadcast the bounded frames:\n${out.queryExecution.executedPlan}")
   }
