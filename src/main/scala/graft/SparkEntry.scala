@@ -406,6 +406,19 @@ object SparkEntry {
         col("is_dup").cast("long").as("is_dup"))
     }),
 
+    // NORMALIZED exact dedup: case/punct/whitespace-folded copies elect one
+    // keeper. The query deterministically reformats every doc_id%5==0 doc
+    // (uppercased + '!!  ' tail) so the fold is exercised: plain exact
+    // would split those groups; normalized dedup reunites them.
+    "q_dedup_normalized" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(upper(col("text")), lit("!!  "))).otherwise(col("text")))
+      Dedup.exactNormalized(d).select(
+        col("doc_id"), col("keeper_id"),
+        col("is_dup").cast("long").as("is_dup"))
+    }),
+
     // governance: where does duplicate mass cross source boundaries? Per
     // (keeper's source, dup's source): count of exact-dup docs. Two narrow
     // (doc_id, source) join-backs onto the keeper-election frame — text
@@ -1825,6 +1838,19 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       s"SELECT doc_id, keeper_id, is_dup FROM $duckDedupSub",
+
+    "q_dedup_normalized" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN upper(text) || '!!  ' ELSE text END AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |       ' +', ' ', 'g')) AS norm
+        |  FROM d)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY norm) AS keeper_id,
+        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY norm) AS BIGINT) AS is_dup
+        |FROM n""".stripMargin,
 
     "q_dup_overlap_matrix" ->
       s"""SELECT k.source AS keeper_source, d.source AS dup_source,

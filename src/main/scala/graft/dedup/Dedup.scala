@@ -66,6 +66,22 @@ object Dedup {
       .drop("__fp", "__kfp")
   }
 
+  /** Normalization-insensitive exact dedup: [[exact]] keyed on
+    * [[TextFunctions.normalizeText]] (case/punctuation/whitespace folded),
+    * so trivially-reformatted copies of a document elect one keeper — the
+    * standard first dedup pass on web corpora, where the same article
+    * recurs with different casing and spacing. Same plan as [[exact]]
+    * (partial+final fingerprint election, long equi-join back; the
+    * normalized text itself never shuffles and never persists).
+    */
+  def exactNormalized(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    exact(df.withColumn("__norm", TextFunctions.normalizeText(col(textCol))),
+      idCol, "__norm")
+      .drop("__norm")
+
   /** Source-priority exact dedup: like [[exact]], but the keeper of each
     * identical-text group is the copy from the most-preferred source
     * (lowest `prefCol`), with min-id as the tiebreak — the cross-source

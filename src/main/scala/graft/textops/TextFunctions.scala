@@ -112,6 +112,19 @@ object TextFunctions {
       regexp_replace(c, pat, token)
     }
 
+  /** Dedup normalization: lowercase, strip everything outside [a-z0-9 ],
+    * collapse space runs, trim — the standard first fold before exact
+    * dedup so trivially-reformatted copies (case, punctuation, spacing)
+    * collide. Deliberately ASCII-scoped: the character class and ' +' are
+    * evaluated identically by Java regex (Spark, codegen'd
+    * `regexp_replace`) and RE2 (the DuckDB oracle), which is what lets the
+    * normalized-dedup oracle check values rather than rows. Null → null
+    * (the null group survives normalization).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** 64-bit FNV-1a document fingerprint (custom codegen'd expression). */
   def fingerprint(text: Column): Column =
     graft.expressions.FnvHash64(text)

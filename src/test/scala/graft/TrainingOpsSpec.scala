@@ -295,6 +295,23 @@ class DedupSpec extends AnyFunSuite {
       s"left side must always be the NEW batch (no corpus-internal pairs): $out")
   }
 
+  test("normalized dedup: case/punct/space variants collide; distinct texts survive") {
+    import spark.implicits._
+    val d = Seq(
+      ("a1", "Hello,  World!"), ("a2", "hello world"), ("a3", "HELLO WORLD  "),
+      ("b1", "something else"), ("n1", null), ("n2", null))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(d).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[String]("keeper_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out("a1") == (("a1", false)) && out("a2") == (("a1", true))
+      && out("a3") == (("a1", true)), s"variants must fold: $out")
+    assert(out("b1") == (("b1", false)))
+    assert(out("n1") == (("n1", false)) && out("n2") == (("n1", true)),
+      "null texts form one normalized group")
+    assert(!out.keySet.contains("__norm"))
+  }
+
   test("incremental near-dup fast (xxhash64): same contract as the portable family") {
     import spark.implicits._
     val base = (1 to 12).map(i => s"w$i").mkString(" ")
