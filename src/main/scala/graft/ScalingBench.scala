@@ -51,7 +51,7 @@ object ScalingBench {
     // table) — same two-level protocol, different timed job and row default
     val workload = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORKLOAD", "flagship")
     val defaultRows = workload match {
-      case "dedup" | "cluster" => "4000000"
+      case "dedup" | "cluster" | "incremental" => "4000000"
       case "fluency" => "2000000" // two bigram-keyed shuffles per doc
       case "sessionize" => "64000000" // shuffle+sort per event, no regex/md5
       case _ => "256000000"
@@ -75,7 +75,7 @@ object ScalingBench {
     val genSession = ScalingBenchLevel.session(big)
     val inputPath = workload match {
       case "flagship" => Synth.materialize(genSession, rows, workDir)
-      case "dedup" | "cluster" | "fluency" =>
+      case "dedup" | "cluster" | "fluency" | "incremental" =>
         Synth.materializeDocuments(genSession, rows, workDir)
       case "sessionize" => Synth.materializeEvents(genSession, rows, workDir)
       case other => throw new IllegalArgumentException(s"unknown workload: $other")
@@ -153,7 +153,7 @@ object ScalingBenchLevel {
     // sessionize sorts every key partition (window carry): 4×cores
     // partitions bound per-task sort buffers, same rationale as cluster
     val spark = session(k,
-      if (Set("cluster", "sessionize", "fluency")(workload)) 4 * k else k)
+      if (Set("cluster", "sessionize", "fluency", "incremental")(workload)) 4 * k else k)
     val df = spark.read.parquet(inputPath)
 
     val once: () => (Double, Long) = workload match {
@@ -204,6 +204,26 @@ object ScalingBenchLevel {
           clusters.count()
           val sec = (System.nanoTime() - t0) / 1e9
           graft.dedup.Dedup.releaseClusters(clusters)
+          (sec, inputRows)
+        }
+      case "incremental" =>
+        // the daily-ingest family: a new batch (1/8 of docs) against the
+        // sealed rest — exact flag join (the corpus collapses to one
+        // fingerprint→keeper row per distinct text before a long-keyed
+        // broadcast/hash join) + LSH probe of the corpus band table
+        // (xxhash64 family; corpus-internal pairs never materialize);
+        // throughput denominator = total input documents
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val inputRows = df.count()
+        val newBatch = df.filter(pmod(col("doc_id"), lit(8)) === 0)
+        val sealedCorpus = df.filter(pmod(col("doc_id"), lit(8)) =!= 0)
+        () => {
+          val t0 = System.nanoTime()
+          graft.dedup.Dedup.incrementalExact(newBatch, sealedCorpus)
+            .filter(col("in_corpus")).count()
+          graft.dedup.Dedup.incrementalNearDupPairsFast(newBatch, sealedCorpus,
+            numHashes = 16, bands = 4, thresholdPpm = 500000L).count()
+          val sec = (System.nanoTime() - t0) / 1e9
           (sec, inputRows)
         }
       case "fluency" =>
