@@ -111,11 +111,22 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":${obj(results)},"extras":${obj(extraResults)},""" +
       s""""errors":$allErrs,"sf":"$sfDir"}"""
+    // SHORT headline first: the 86-query map makes the full line ~4 KB, and
+    // a bounded tail/head capture that starts or ends mid-line sees no
+    // complete JSON object (round-4 driver read "parsed": null for exactly
+    // this reason). The headline carries the decision-grade fields
+    // (total/reps/errors) in <200 bytes and is printed BEFORE and AFTER the
+    // full map, so any contiguous capture window containing either edge of
+    // the output holds one complete object.
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""reps":$reps,"errors":$allErrs,"sf":"$sfDir"}"""
+    println(headline)
     // stdout from `sbt runMain` interleaves with Spark/sbt log noise and the
     // round-1 driver failed to parse the line ("parsed": null) — emit the
     // result on every channel a parser might read: bare stdout line, a
     // uniquely-greppable file in the repo, and an env-overridable path.
     println(json)
+    println(headline)
     System.out.flush()
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       sys.props("user.dir") + "/target/bench_result.json")

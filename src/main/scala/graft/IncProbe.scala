@@ -1,14 +1,21 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+/** Stage-decomposition probe for the incremental near-dup path: times
+  * banding / bucket gather / candidate join / verify separately at a given
+  * core count. Usage: `runMain graft.IncProbe <cores> <documentsParquet>`
+  * (the parquet is a Synth.materializeDocuments output — generate one with
+  * ScalingBench or Synth directly).
+  */
 object IncProbe {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: IncProbe <cores> <documentsParquet>")
     val k = args(0).toInt
     val spark = SparkSession.builder().master(s"local[$k]")
       .config("spark.sql.shuffle.partitions", 4 * k)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = spark.read.parquet("/root/repo/target/scaling_inc3/documents_n4000000_s42_p256").cache()
+    val df = spark.read.parquet(args(1)).cache()
     df.count()
     val newB = df.filter(pmod(col("doc_id"), lit(8)) === 0)
     val corp = df.filter(pmod(col("doc_id"), lit(8)) =!= 0)

@@ -420,17 +420,17 @@ object SparkEntry {
     }),
 
     // governance: where does duplicate mass cross source boundaries? Per
-    // (keeper's source, dup's source): count of exact-dup docs. Two narrow
-    // (doc_id, source) join-backs onto the keeper-election frame — text
-    // never re-shuffles, the matrix is |sources|^2 rows
+    // (keeper's source, dup's source): count of exact-dup docs. The dup
+    // row's own `source` rides the keeper-election frame (Dedup.exact
+    // preserves input columns), so only ONE narrow (doc_id, source)
+    // join-back — for the keeper's source — is needed; text never
+    // re-shuffles, the matrix is |sources|^2 rows
     "q_dup_overlap_matrix" -> ((s, dir) => {
-      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val keeperSrc = docs(s, dir)
+        .select(col("doc_id").as("keeper_id"), col("source").as("keeper_source"))
       Dedup.exact(docs(s, dir)).where(col("is_dup"))
-        .select(col("doc_id"), col("keeper_id"))
-        .join(src, "doc_id")
-        .withColumnRenamed("source", "dup_source")
-        .join(src.select(col("doc_id").as("keeper_id"), col("source").as("keeper_source")),
-          "keeper_id")
+        .select(col("keeper_id"), col("source").as("dup_source"))
+        .join(keeperSrc, "keeper_id")
         .groupBy(col("keeper_source"), col("dup_source"))
         .agg(count(lit(1)).as("n"))
     }),

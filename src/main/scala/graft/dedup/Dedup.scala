@@ -38,6 +38,18 @@ object Dedup {
   private def fpKey(textCol: String): Column =
     coalesce(TextFunctions.fingerprint(col(textCol)), lit(Long.MinValue))
 
+  /** Internal temp-column name guaranteed absent from `df` (underscores
+    * appended until unique): an input frame that already carries `__fp` /
+    * `__kfp` / `__norm` must not be clobbered or make the keeper join
+    * ambiguous. (Output columns `keeper_id` / `is_dup` stay fixed — they
+    * are the documented contract, not internals.)
+    */
+  private def freshName(df: DataFrame, base: String): String = {
+    var n = base
+    while (df.columns.contains(n)) n += "_"
+    n
+  }
+
   /** Exact dedup: annotate every row with the elected keeper (min id among
     * identical texts) and a dup flag. Keeper election is `groupBy(fp).agg(min)`
     * — the partial (map-side) aggregate collapses every local copy of a
@@ -54,16 +66,18 @@ object Dedup {
     */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = fpKey(textCol)
+    val fpC = freshName(df, "__fp")
+    val kfpC = freshName(df, "__kfp")
     val keepers = df
-      .select(fp.as("__kfp"), col(idCol).as("keeper_id"))
-      .groupBy("__kfp").agg(min("keeper_id").as("keeper_id"))
+      .select(fp.as(kfpC), col(idCol).as("keeper_id"))
+      .groupBy(kfpC).agg(min("keeper_id").as("keeper_id"))
     // equi-join on the non-null fpKey: null texts share the sentinel group
     // (the DuckDB oracle's `partition by text` puts all nulls in one group
     // too), so no row is dropped and the join key stays a primitive long
-    df.withColumn("__fp", fp)
-      .join(keepers, col("__fp") === col("__kfp"))
+    df.withColumn(fpC, fp)
+      .join(keepers, col(fpC) === col(kfpC))
       .withColumn("is_dup", col("keeper_id") =!= col(idCol))
-      .drop("__fp", "__kfp")
+      .drop(fpC, kfpC)
   }
 
   /** Normalization-insensitive exact dedup: [[exact]] keyed on
@@ -77,10 +91,12 @@ object Dedup {
   def exactNormalized(
       df: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    exact(df.withColumn("__norm", TextFunctions.normalizeText(col(textCol))),
-      idCol, "__norm")
-      .drop("__norm")
+      textCol: String = "text"): DataFrame = {
+    val normC = freshName(df, "__norm")
+    exact(df.withColumn(normC, TextFunctions.normalizeText(col(textCol))),
+      idCol, normC)
+      .drop(normC)
+  }
 
   /** Source-priority exact dedup: like [[exact]], but the keeper of each
     * identical-text group is the copy from the most-preferred source
@@ -100,16 +116,18 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val fp = fpKey(textCol)
+    val fpC = freshName(df, "__fp")
+    val kfpC = freshName(df, "__kfp")
     val keepers = df
-      .select(fp.as("__kfp"), struct(prefCol.as("p"), col(idCol).as("id")).as("__pk"))
-      .groupBy("__kfp").agg(min("__pk").as("__pk"))
-      .select(col("__kfp"), col("__pk.id").as("keeper_id"))
+      .select(fp.as(kfpC), struct(prefCol.as("p"), col(idCol).as("id")).as("__pk"))
+      .groupBy(kfpC).agg(min("__pk").as("__pk"))
+      .select(col(kfpC), col("__pk.id").as("keeper_id"))
     // equi-join on the non-null fpKey ([[fpKey]] doc): null texts share the
     // sentinel group and still elect a keeper
-    df.withColumn("__fp", fp)
-      .join(keepers, col("__fp") === col("__kfp"))
+    df.withColumn(fpC, fp)
+      .join(keepers, col(fpC) === col(kfpC))
       .withColumn("is_dup", col("keeper_id") =!= col(idCol))
-      .drop("__fp", "__kfp")
+      .drop(fpC, kfpC)
   }
 
   /** MinHash signature from a pre-hashed shingle array: for each of
@@ -412,32 +430,44 @@ object Dedup {
     * cluster_id`). This is the stage that turns pairwise similarity output
     * into dedup DECISIONS: `pairs → clusters → keep one per cluster`.
     *
-    * Iterative min-label propagation — the standard distributed CC shape
-    * (the DataFrame analog of GraphX/Pregel label propagation): each round
-    * every node's current label crosses its edges once and a partial+final
-    * `min` aggregate folds messages map-side, so rounds cost one shuffle
-    * join + one aggregate and NO node's full neighborhood ever concentrates
-    * in a task. Round count = component diameter; near-dup components are
-    * shallow (LSH emits cliques within buckets, so chains only form across
-    * buckets), hence the small `maxIters` default. The driver reads only the
-    * per-round changed-label count (an observe metric delivered by the same
-    * action that materializes the round), never data.
+    * HIERARCHICAL CONTRACTION (the 100 TB path): repeat the partition-local
+    * union-find contraction on ever-smaller "glue" graphs until the
+    * survivor graph fits a bounded driver solve, then propagate labels back
+    * down the per-level mappings. Each level is three fully-parallel steps
+    * — union-find per edge partition (every node → its LOCAL set minimum),
+    * a partial+final `min(rep)` canonicalization per node, and one
+    * rep-graph join — so the serial cost is a few barriers per LEVEL (a
+    * handful of levels in practice) instead of one driver-scheduled round
+    * per component DIAMETER hop, which is what kept the old per-round
+    * fixpoint under the 0.8 scaling bar. Invariant making the final min
+    * election exact: a component's global-minimum id is the local minimum
+    * of every partition set that contains it, so it survives every level as
+    * its own rep — the top-level solve (or the fully-contracted fallback
+    * label) always elects the true component minimum, which is what the
+    * exact reachability oracle checks. If a pathological graph stops
+    * shrinking (next level > 70% of current) or exceeds `maxIters` levels,
+    * the diameter-bounded min-label fixpoint ([[distributedFixpointLabels]]
+    * — one co-partitioned join + partial+final min per round) finishes the
+    * by-then-much-smaller survivor graph; it is kept as the proven-correct
+    * fallback, not the primary path.
     *
     * @param docs  frame holding every document (singletons become their own
     *              cluster) — pass the same frame the pairs were mined from.
     * @param pairs (id_a, id_b) rows, any orientation, duplicates fine.
-    * @param driverSolveMaxEdges when the CONTRACTED star graph has at most
-    *              this many directed edges, finish with a driver-local
-    *              union-find instead of distributed rounds — the standard
-    *              final phase of production CC (contract until small, then
-    *              solve locally), threshold-gated exactly like a broadcast
-    *              join. The default (1M 2-column rows ≈ low hundreds of MB
-    *              of transient driver structures) is sized like a large
-    *              broadcast; raise it only with driver heap to spare. The
-    *              near-dup graph of even a 100 TB corpus is usually orders
-    *              of magnitude smaller than the corpus; when it genuinely
-    *              is cluster-scale, the distributed fixpoint takes over
-    *              unchanged — pass 0 to force it (no gate scan runs).
+    * @param driverSolveMaxEdges when the raw pair graph (or any level's
+    *              survivor graph) has at most this many rows, finish with a
+    *              driver-local union-find — the standard final phase of
+    *              production CC (contract until small, then solve locally),
+    *              threshold-gated exactly like a broadcast join. The
+    *              default (1M 2-column rows ≈ low hundreds of MB of
+    *              transient driver structures) is sized like a large
+    *              broadcast; raise it only with driver heap to spare.
+    *              Pass 0 to disable the RAW-graph shortcut (every input
+    *              runs at least one distributed contraction level); the
+    *              hierarchical path still ends in a bounded ≤1M-row solve —
+    *              contracting until the survivor graph fits the driver is
+    *              the point of the design, and that final materialization
+    *              is the same bet a broadcast join makes.
     *              Ids must be an atomic comparable type (string/numeric —
     *              not binary/struct): both phases key hash maps and elect
     *              min labels on them.
@@ -455,7 +485,14 @@ object Dedup {
       maxIters: Int = 20,
       driverSolveMaxEdges: Long = 1000000L,
       edgesPerTask: Long = 500000L): DataFrame = {
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val spark = docs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val idType = pairs.schema.head.dataType
+    // bounded final-solve budget: with the raw shortcut disabled (≤0) the
+    // hierarchical path still ends in a bounded driver solve of the
+    // contracted survivor graph — that IS the design (see scaladoc)
+    val finalBudget =
+      if (driverSolveMaxEdges > 0) driverSolveMaxEdges else 1000000L
     // materialize the MINED pairs once, then symmetrize from the
     // checkpoint: a union over the raw pairs plan embeds the whole mining
     // pipeline (banding → bucket join → verify) as BOTH union children, and
@@ -468,92 +505,15 @@ object Dedup {
       .observe(pObs, coalesce(count(lit(1)), lit(0L)).as("n"))
       .localCheckpoint()
     val nEdges = 2L * pObs.get("n").asInstanceOf[Long]
-    // symmetrized raw edge plan. The union-find task below holds one boxed
-    // map entry per distinct node in its partition, so edges-per-task must
-    // be BOUNDED BY CONSTRUCTION: the mined pair frame's partitioning is
-    // whatever AQE coalesced the verify join to (often a handful of
-    // partitions — "small bytes" ≠ small heap once boxed), and at 16M docs
-    // the unbounded form OOMed the 16-core level of the scaling bench.
-    // Small graphs (≤ one task's budget) skip the shuffle entirely; larger
-    // ones repartition ROUND-ROBIN, which bounds rows-per-task exactly —
-    // hashing by source node would funnel a hub node's entire (possibly
-    // multi-million-edge) neighborhood into one task, re-creating the OOM
-    // under degree skew. The contraction is correct under any partitioning.
-    val raw0 = p.select(col("id_a").as("s"), col("id_b").as("t"))
-      .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
-    val rawEdges =
-      if (nEdges <= edgesPerTask) raw0
-      else raw0.repartition(
-        math.max(parts, math.ceil(nEdges.toDouble / edgesPerTask).toInt))
-    // Phase 1 — partition-local star contraction (the standard two-phase
-    // distributed-CC shape): union-find over each edge partition emits one
-    // (node ↔ partition-local root) star-edge pair per contracted node. The
-    // star graph has exactly the original components over exactly the
-    // incident node set, but its diameter is the number of PARTITION hops a
-    // chain crosses, not the chain's raw length — so the global fixpoint
-    // below converges in a handful of rounds however long mined chains get,
-    // and iterates over ≤ 2×incident-nodes star edges instead of 2×|pairs|.
-    // Memory is bounded by distinct nodes per edge partition — the budget a
-    // hash aggregate on this layout already assumes. mapPartitions is
-    // warranted: union-find's mutable parent forest has no Catalyst
-    // equivalent.
-    //
-    val star = docs.sparkSession.createDataFrame(
-      rawEdges.rdd.mapPartitions { it =>
-        val uf = new UnionFind // instantiated per task, never serialized
-        it.foreach(row => uf.union(row.get(0), row.get(1)))
-        uf.nodes.iterator.flatMap { n =>
-          val r = uf.find(n)
-          if (n == r) Nil
-          else Seq(org.apache.spark.sql.Row(n, r), org.apache.spark.sql.Row(r, n))
-        }
-      }, rawEdges.schema)
-    // Phase 2 — driver-local final solve when the contracted graph is
-    // small: the same small-side materialization bet a broadcast join
-    // makes, threshold-gated the same way. Three cases, each executing the
-    // contraction exactly ONCE:
-    //  - raw graph within one task's budget AND under the threshold → the
-    //    star read straight off the pair checkpoint (no shuffle anywhere);
-    //    collect is bounded by nEdges itself. The common near-dup case.
-    //  - larger graph with the driver solve enabled → materialize the star
-    //    once (its own size rides the checkpoint action as an observe
-    //    metric), then branch on the MEASURED size; both consumers read
-    //    the checkpoint, so the contraction never re-executes.
-    //  - threshold ≤ 0 (forced distributed) → skip every gate scan.
     val labels: DataFrame =
       if (driverSolveMaxEdges > 0 &&
         nEdges <= math.min(edgesPerTask, driverSolveMaxEdges)) {
-        driverSolveLabels(docs.sparkSession, star.collect(), star.schema.head.dataType)
+        // tiny graph: collect the raw pairs straight off the checkpoint —
+        // no contraction, no shuffle anywhere. The common near-dup case.
+        driverSolveLabels(spark, p.collect(), idType)
       } else {
-        val starObs = org.apache.spark.sql.Observation()
-        val starCk = star
-          .observe(starObs, coalesce(count(lit(1)), lit(0L)).as("n"))
-          .localCheckpoint()
-        val nStar = starObs.get("n").asInstanceOf[Long]
-        if (driverSolveMaxEdges > 0 && nStar <= driverSolveMaxEdges) {
-          val out = driverSolveLabels(
-            docs.sparkSession, starCk.collect(), star.schema.head.dataType)
-          releaseLocalCheckpoint(starCk) // labels are a LocalRelation now
-          out
-        } else {
-          // dup graph genuinely cluster-scale: fall back to the
-          // distributed min-label fixpoint. Star edges re-lay-out
-          // hash-partitioned on the join key (explicit count — a bare
-          // repartition(exprs) is an AQE-coalescing target);
-          // localCheckpoint preserves the partitioning, so every round's
-          // edge⋈label join reuses this layout with NO per-round edge
-          // shuffle. The fixpoint iterates ONLY over edge-incident nodes —
-          // singletons rejoin at the end — so each round shuffles the
-          // (sparse) dup graph, never the corpus.
-          val edges = starCk.repartition(parts, col("s")).localCheckpoint()
-          releaseLocalCheckpoint(starCk)
-          val out = distributedFixpointLabels(edges, parts, maxIters)
-          // the edge checkpoint is only needed inside the rounds; relying
-          // on driver GC + ContextCleaner leaves it resident long enough
-          // to evict/pressure later queries in the same session
-          releaseLocalCheckpoint(edges)
-          out
-        }
+        hierarchicalLabels(p, nEdges, idType, parts, maxIters,
+          finalBudget, edgesPerTask)
       }
     releaseLocalCheckpoint(p)
     // singletons rejoin here: every doc absent from the edge-incident label
@@ -640,10 +600,186 @@ object Dedup {
       org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 
+  /** One contraction level: union-find per edge partition, emitting one
+    * (node, rep) row per node PER PARTITION, rep = the partition-local set
+    * MINIMUM in Spark order ([[sparkLt]]). Duplicate/self edges are
+    * harmless to union-find, and correctness holds under ANY partitioning —
+    * layout only affects how fast the graph shrinks. mapPartitions is
+    * warranted: union-find's mutable parent forest has no Catalyst
+    * equivalent.
+    */
+  private def contractMapping(edges: DataFrame): DataFrame = {
+    val idType = edges.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", idType),
+      org.apache.spark.sql.types.StructField("rep", idType)))
+    edges.sparkSession.createDataFrame(
+      edges.rdd.mapPartitions { it =>
+        val uf = new UnionFind // instantiated per task, never serialized
+        it.foreach(row => uf.union(row.get(0), row.get(1)))
+        val ns = uf.nodes
+        val minOf = new java.util.HashMap[Any, Any]()
+        ns.foreach { n =>
+          val r = uf.find(n)
+          val m = minOf.get(r)
+          if (m == null || sparkLt(n, m)) minOf.put(r, n)
+        }
+        ns.iterator.map(n =>
+          org.apache.spark.sql.Row(n, minOf.get(uf.find(n))))
+      }, schema)
+  }
+
+  private def emptyLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType))))
+
+  /** Hierarchical contraction (see [[nearDupClusters]] scaladoc): contract
+    * level by level until the survivor graph fits `finalBudget` rows, solve
+    * it on the driver, then back-propagate labels through the per-level
+    * (node → canonical rep) mappings. Returns (id, cluster_id) for every
+    * edge-incident node, backed by one final checkpoint (every
+    * intermediate — level edges, per-partition mappings, superseded
+    * checkpoints — is released before return).
+    */
+  private def hierarchicalLabels(
+      p: DataFrame,
+      nEdges0: Long,
+      idType: org.apache.spark.sql.types.DataType,
+      parts: Int,
+      maxIters: Int,
+      finalBudget: Long,
+      edgesPerTask: Long): DataFrame = {
+    val spark = p.sparkSession
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    // Level-0 edges: symmetrized, ROUND-ROBIN bounded. The union-find task
+    // holds one boxed map entry per distinct node in its partition, so
+    // edges-per-task must be BOUNDED BY CONSTRUCTION: the mined pair
+    // frame's partitioning is whatever AQE coalesced the verify join to
+    // (often a handful of fat partitions — "small bytes" ≠ small heap once
+    // boxed), and at 16M docs the unbounded form OOMed the 16-core scaling
+    // level. Round-robin, not hash-by-source: hashing would funnel a hub
+    // node's entire (possibly multi-million-edge) neighborhood into one
+    // task, re-creating the OOM under degree skew.
+    val raw0 = p.select(col("id_a").as("s"), col("id_b").as("t"))
+      .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
+    var edges: DataFrame =
+      if (nEdges0 <= edgesPerTask) raw0
+      else raw0.repartition(
+        math.max(parts, math.ceil(nEdges0.toDouble / edgesPerTask).toInt))
+    var edgesCk: DataFrame = null // checkpoint behind `edges` at levels ≥ 1
+    var nE = nEdges0
+    val mappings = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var top: DataFrame = null
+    var level = 0
+    while (top == null) {
+      val t0 = System.nanoTime()
+      // mapping row count rides the checkpoint action (observe, no extra
+      // job); it is Σ per-partition node counts — a conservative (over-)
+      // estimate of the survivor graph's size, which is the safe direction
+      // for a driver-materialization gate
+      val sObs = org.apache.spark.sql.Observation()
+      val sCk = contractMapping(edges)
+        .observe(sObs, coalesce(count(lit(1)), lit(0L)).as("n"))
+        .localCheckpoint()
+      val nS = sObs.get("n").asInstanceOf[Long]
+      if (edgesCk != null) { releaseLocalCheckpoint(edgesCk); edgesCk = null }
+      if (nS <= finalBudget) {
+        // survivor graph fits the driver: mapping rows ARE edges
+        // (node—rep), solve locally — the terminal phase of the design
+        top = driverSolveLabels(spark, sCk.collect(), idType)
+        releaseLocalCheckpoint(sCk)
+        if (debug) println(f"CC_LEVEL $level%d SOLVE n=$nS%d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } else {
+        // canonical rep per node: partial+final min over the node's
+        // per-partition reps — no node's rep set ever gathers unaggregated
+        val m = sCk.groupBy(col("node")).agg(min(col("rep")).as("rep"))
+          .localCheckpoint()
+        mappings += m
+        // next level's edges: each node glues its canonical rep to every
+        // other rep it saw — the graph shrinks to cross-partition glue
+        // nodes only. Duplicates are left in deliberately (union-find
+        // absorbs them; a distinct() would pay a pure-overhead shuffle).
+        // Symmetrized in ONE pass (explode, not a self-union that would
+        // run the join twice); the fixpoint fallback requires symmetry.
+        val eObs = org.apache.spark.sql.Observation()
+        val nextCk = sCk.select(col("node"), col("rep").as("r2"))
+          .join(m.select(col("node"), col("rep").as("r1")), "node")
+          .where(col("r1") =!= col("r2"))
+          .select(explode(array(
+            struct(col("r1").as("s"), col("r2").as("t")),
+            struct(col("r2").as("s"), col("r1").as("t")))).as("e"))
+          .select(col("e.s").as("s"), col("e.t").as("t"))
+          .observe(eObs, coalesce(count(lit(1)), lit(0L)).as("n"))
+          .localCheckpoint()
+        val nNext = eObs.get("n").asInstanceOf[Long]
+        releaseLocalCheckpoint(sCk)
+        if (debug) println(f"CC_LEVEL $level%d nodes=$nS%d next=$nNext%d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (nNext == 0L) {
+          // every component fully contracted: labels come entirely from
+          // the back-propagation fallback (rep itself — the global min,
+          // see the invariant in the scaladoc)
+          releaseLocalCheckpoint(nextCk)
+          top = emptyLabels(spark, idType)
+        } else if (level + 1 >= maxIters || nNext > (nE * 7) / 10) {
+          // pathological non-shrinking graph: finish the (by now much
+          // smaller) survivor graph with the diameter-bounded min-label
+          // fixpoint — proven correct on any symmetric edge set. Edges
+          // re-lay-out hash-partitioned on the join key so every round's
+          // edge⋈label join reuses the layout with NO per-round shuffle.
+          val fx = nextCk.repartition(parts, col("s")).localCheckpoint()
+          releaseLocalCheckpoint(nextCk)
+          top = distributedFixpointLabels(fx, parts, maxIters)
+          releaseLocalCheckpoint(fx)
+        } else {
+          // recurse, hash-partitioned by s so every node's edges colocate
+          // (maximal per-partition merging). Hub degree at levels ≥ 1 is
+          // bounded by the PREVIOUS level's per-task node count, so the
+          // worst task is one budget plus one bounded hub neighborhood —
+          // not the unbounded raw-degree exposure level 0 avoids.
+          edges = nextCk.repartition(
+            math.max(parts, math.ceil(nNext.toDouble / edgesPerTask).toInt),
+            col("s"))
+          edgesCk = nextCk
+          nE = nNext
+          level += 1
+        }
+      }
+    }
+    // back-propagate: a level-i node's label is its canonical rep's label
+    // one level up, falling back to the rep itself — a rep with no label
+    // above is a component that fully contracted, and a fully-contracted
+    // component's shared rep IS its global minimum (scaladoc invariant)
+    var labels = top
+    mappings.reverseIterator.foreach { m =>
+      labels = m
+        .join(labels.select(col("id").as("__rid"), col("cluster_id")),
+          col("rep") === col("__rid"), "left")
+        .select(col("node").as("id"),
+          coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+    }
+    if (mappings.isEmpty) top
+    else {
+      // one checkpoint materializes the whole back-prop chain, then every
+      // intermediate (mappings, top-level labels) is released — the caller
+      // holds 2 columns × edge-incident nodes, nothing else
+      val out = labels.localCheckpoint()
+      mappings.foreach(releaseLocalCheckpoint)
+      releaseLocalCheckpoint(top)
+      out
+    }
+  }
+
   /** Distributed min-label fixpoint over the (symmetric, co-partitioned,
-    * checkpointed) edge frame — the path for dup graphs too large to solve
-    * on the driver. Returns (id, cluster_id) for every edge-incident node,
-    * backed by the final round's checkpoint.
+    * checkpointed) edge frame — the fallback for survivor graphs that stop
+    * shrinking under contraction. Returns (id, cluster_id) for every
+    * edge-incident node, backed by the final round's checkpoint.
     */
   private def distributedFixpointLabels(
       edges: DataFrame, parts: Int, maxIters: Int): DataFrame = {

@@ -293,6 +293,19 @@ object StreamRouter {
     * with a smaller (ts_us, event_id) loses to the stored cell and emits
     * nothing — arrival order never changes the converged answer (asserted
     * differentially vs the batch operator in StreamRouterSpec).
+    *
+    * FIXED-SCHEMA CONTRACT (narrower than the batch operator): the column
+    * parameters only RENAME inputs into the [[LatestEvent]] state schema —
+    * ids/timestamps cast to long, and the payload is a single numeric
+    * `value` quantized to centi-units (`value_c = round(value*100)`, the
+    * integer form the flatMapGroupsWithState state encoder stores). The
+    * batch [[graft.logops.LogOps.latestState]] carries arbitrary payload
+    * columns at native precision; swapping batch → streaming therefore
+    * changes payload shape unless the caller's payload already fits this
+    * contract. (Generic payload carry would need a per-call state encoder —
+    * a Dataset[Row] state cell — which Structured Streaming does not
+    * support; callers with wider payloads should pack them into the
+    * event_type string or run the batch face over closed data.)
     */
   def latestState(
       stream: DataFrame,

@@ -162,8 +162,15 @@ object CorpusStats {
     * HISTOGRAM first (partial+final count; domain-sized, e.g. quality
     * scores have ~10^3 distinct ppm values), the running "strictly below"
     * sum rides a window over that histogram only, and the per-value ranks
-    * broadcast-join back to the corpus — raw rows are never sorted,
-    * never shuffled beyond the count aggregate.
+    * join back to the corpus — raw rows are never sorted, never shuffled
+    * beyond the count aggregate. The join-back is NULL-SAFE (`<=>`): the
+    * histogram groups null values into one bucket exactly like the SQL
+    * window ranks them (nulls sort first, sharing rank 0), so null-valued
+    * rows keep the window semantics instead of silently dropping. No
+    * forced broadcast hint: the ranks frame is distinct-value-sized, which
+    * is USUALLY tiny, but a high-cardinality value column must be allowed
+    * to fall back to a shuffle join instead of OOMing the driver — AQE
+    * broadcasts the common small case on its own measured size.
     */
   def percentileRanks(df: DataFrame, valueCol: String,
       outCol: String = "pctl_ppm"): DataFrame = {
@@ -172,10 +179,10 @@ object CorpusStats {
     val ranks = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__below", coalesce(sum(col("__n")).over(w), lit(0L)))
       .withColumn("__total", sum(col("__n")).over(all))
-      .select(col(valueCol),
+      .select(col(valueCol).as("__rank_v"),
         when(col("__total") > 1,
           expr("__below * 1000000L div (__total - 1)")).otherwise(lit(0L)).as(outCol))
-    df.join(broadcast(ranks), Seq(valueCol))
+    df.join(ranks, col(valueCol) <=> col("__rank_v")).drop("__rank_v")
   }
 
   /** Bounded inverted-index postings: per term, the document frequency

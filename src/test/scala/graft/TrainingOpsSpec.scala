@@ -396,6 +396,63 @@ class DedupSpec extends AnyFunSuite {
     assert(midDist.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components: multi-level hierarchical contraction matches local union-find") {
+    import spark.implicits._
+    // a random graph big enough (and budgets small enough) that the
+    // hierarchical path runs ≥2 contraction levels before the bounded
+    // final solve, exercising mapping back-propagation end to end
+    val rnd = new scala.util.Random(7)
+    val n = 400
+    val pairSeq = Seq.fill(500) {
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.filter(p => p._1 != p._2)
+    // reference: plain local union-find with min-label election
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairSeq.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val pairsDf = pairSeq.toDF("id_a", "id_b")
+    // tiny budgets force: raw shortcut skipped, per-level survivor graphs
+    // above the collect bar for at least one level, bounded tasks
+    val got = Dedup.nearDupClusters(nodes, pairsDf,
+      driverSolveMaxEdges = 60L, edgesPerTask = 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // string ids through the same forced-hierarchical path (UTF8 min order)
+    val sNodes = (0 until n).map(i => f"d$i%04d").toDF("doc_id")
+    val sPairs = pairSeq.map { case (a, b) => (f"d$a%04d", f"d$b%04d") }
+      .toDF("id_a", "id_b")
+    val sGot = Dedup.nearDupClusters(sNodes, sPairs,
+      driverSolveMaxEdges = 60L, edgesPerTask = 50L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot == want.map { case (k, v) => f"d$k%04d" -> f"d$v%04d" })
+  }
+
+  test("exact dedup: input frames already carrying __fp/__kfp/__norm are not clobbered") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text", "keepme1", 11L),
+      (2L, "same text", "keepme2", 22L),
+      (3L, "other", "keepme3", 33L))
+      .toDF("doc_id", "text", "__fp", "__kfp")
+    val got = Dedup.exact(df).orderBy("doc_id")
+      .select("doc_id", "keeper_id", "is_dup", "__fp", "__kfp").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+    // the caller's columns survive untouched
+    assert(got.map(_.getString(3)).toSeq == Seq("keepme1", "keepme2", "keepme3"))
+    val dfn = Seq((1L, "Same  Text!", "n1"), (2L, "same text", "n2"))
+      .toDF("doc_id", "text", "__norm")
+    val gotN = Dedup.exactNormalized(dfn).orderBy("doc_id")
+      .select("doc_id", "keeper_id", "__norm").collect()
+    assert(gotN.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 1L, "n1"), (2L, 1L, "n2")))
+  }
+
   test("degenerate LSH bucket is pruned, live pairs survive (MinHash + SimHash)") {
     // 500 copies of one boilerplate doc — the exact input a web crawl
     // guarantees — must be dropped by the cap WITHOUT ever being gathered;
