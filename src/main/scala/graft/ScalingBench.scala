@@ -51,7 +51,7 @@ object ScalingBench {
     // table) — same two-level protocol, different timed job and row default
     val workload = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORKLOAD", "flagship")
     val defaultRows = workload match {
-      case "dedup" | "cluster" | "incremental" => "4000000"
+      case "dedup" | "cluster" | "ccstage" | "incremental" => "4000000"
       case "fluency" => "2000000" // two bigram-keyed shuffles per doc
       case "sessionize" => "64000000" // shuffle+sort per event, no regex/md5
       case _ => "256000000"
@@ -77,6 +77,20 @@ object ScalingBench {
       case "flagship" => Synth.materialize(genSession, rows, workDir)
       case "dedup" | "cluster" | "fluency" | "incremental" =>
         Synth.materializeDocuments(genSession, rows, workDir)
+      case "ccstage" =>
+        // the ISOLATED clustering stage: pairs are mined ONCE here
+        // (generation phase, excluded from timing — mining's own scaling
+        // is the dedup workload's evidence) and read back per run, so the
+        // timed job is exactly pairs→components→labels→rejoin
+        val docsPath = Synth.materializeDocuments(genSession, rows, workDir)
+        val pairsPath = s"${docsPath}_pairs"
+        if (!new java.io.File(s"$pairsPath/_SUCCESS").exists()) {
+          graft.dedup.Dedup.minHashLshPairs(
+            genSession.read.parquet(docsPath),
+            numHashes = 16, bands = 4, thresholdPpm = 500000L)
+            .write.mode("overwrite").parquet(pairsPath)
+        }
+        docsPath
       case "sessionize" => Synth.materializeEvents(genSession, rows, workDir)
       case other => throw new IllegalArgumentException(s"unknown workload: $other")
     }
@@ -153,7 +167,8 @@ object ScalingBenchLevel {
     // sessionize sorts every key partition (window carry): 4×cores
     // partitions bound per-task sort buffers, same rationale as cluster
     val spark = session(k,
-      if (Set("cluster", "sessionize", "fluency", "incremental")(workload)) 4 * k else k)
+      if (Set("cluster", "ccstage", "sessionize", "fluency", "incremental")(workload)) 4 * k
+      else k)
     val df = spark.read.parquet(inputPath)
 
     val once: () => (Double, Long) = workload match {
@@ -199,6 +214,24 @@ object ScalingBenchLevel {
           val t0 = System.nanoTime()
           val pairs = graft.dedup.Dedup.minHashLshPairs(df,
             numHashes = 16, bands = 4, thresholdPpm = 500000L)
+          val clusters = graft.dedup.Dedup.nearDupClusters(df, pairs,
+            driverSolveMaxEdges = 0L)
+          clusters.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          graft.dedup.Dedup.releaseClusters(clusters)
+          (sec, inputRows)
+        }
+      case "ccstage" =>
+        // the clustering stage ALONE over pre-mined pairs (generation
+        // phase mines them once): hierarchical contraction → bounded
+        // solve → back-prop → singleton rejoin; throughput = input
+        // docs/sec. Driver-solve shortcut disabled, same rationale as
+        // `cluster`.
+        val inputRows = df.count()
+        val pairs = spark.read.parquet(s"${inputPath}_pairs")
+        pairs.count() // warm page cache outside the timed section
+        () => {
+          val t0 = System.nanoTime()
           val clusters = graft.dedup.Dedup.nearDupClusters(df, pairs,
             driverSolveMaxEdges = 0L)
           clusters.count()

@@ -35,7 +35,7 @@ object Dedup {
     * SAME collision class a fingerprint-keyed join already accepts for any
     * pair of distinct texts.
     */
-  private def fpKey(textCol: String): Column =
+  private[graft] def fpKey(textCol: String): Column =
     coalesce(TextFunctions.fingerprint(col(textCol)), lit(Long.MinValue))
 
   /** Internal temp-column name guaranteed absent from `df` (underscores
@@ -433,13 +433,19 @@ object Dedup {
     * HIERARCHICAL CONTRACTION (the 100 TB path): repeat the partition-local
     * union-find contraction on ever-smaller "glue" graphs until the
     * survivor graph fits a bounded driver solve, then propagate labels back
-    * down the per-level mappings. Each level is three fully-parallel steps
-    * — union-find per edge partition (every node → its LOCAL set minimum),
-    * a partial+final `min(rep)` canonicalization per node, and one
-    * rep-graph join — so the serial cost is a few barriers per LEVEL (a
-    * handful of levels in practice) instead of one driver-scheduled round
-    * per component DIAMETER hop, which is what kept the old per-round
-    * fixpoint under the 0.8 scaling bar. Invariant making the final min
+    * down the per-level mappings. Each level is two fully-parallel steps —
+    * union-find over hash-by-source edge partitions (every node → its
+    * LOCAL set minimum; hash-by-s colocates each node's out-star so whole
+    * components collapse in-task) feeding ONE `groupBy(node)` aggregate
+    * that carries both the canonical rep (min — the back-prop mapping) and
+    * the node's full rep set (collect_set, bounded by partitions-touched),
+    * from which the DEDUPLICATED glue graph projects without any join. The
+    * serial cost is two barriers per LEVEL (typically 2 levels end-to-end)
+    * instead of one driver-scheduled round per component DIAMETER hop,
+    * which is what kept the old per-round fixpoint under the 0.8 scaling
+    * bar; contraction partitioning is data-sized, not core-proportional,
+    * so a bigger cluster does the identical work faster rather than more
+    * work (see the in-body comment). Invariant making the final min
     * election exact: a component's global-minimum id is the local minimum
     * of every partition set that contains it, so it survives every level as
     * its own rep — the top-level solve (or the fully-contracted fallback
@@ -500,11 +506,14 @@ object Dedup {
     // verify stage would run twice
     // pair count rides the checkpoint action as an observe metric (no
     // extra job) — it sizes the contraction below
+    val tMine = System.nanoTime()
     val pObs = org.apache.spark.sql.Observation()
     val p = pairs.select(col("id_a"), col("id_b"))
       .observe(pObs, coalesce(count(lit(1)), lit(0L)).as("n"))
       .localCheckpoint()
     val nEdges = 2L * pObs.get("n").asInstanceOf[Long]
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"CC_MINE pairs=${nEdges / 2}%d ${(System.nanoTime() - tMine) / 1e9}%.2f s")
     val labels: DataFrame =
       if (driverSolveMaxEdges > 0 &&
         nEdges <= math.min(edgesPerTask, driverSolveMaxEdges)) {
@@ -656,21 +665,37 @@ object Dedup {
       edgesPerTask: Long): DataFrame = {
     val spark = p.sparkSession
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    // Level-0 edges: symmetrized, ROUND-ROBIN bounded. The union-find task
-    // holds one boxed map entry per distinct node in its partition, so
-    // edges-per-task must be BOUNDED BY CONSTRUCTION: the mined pair
-    // frame's partitioning is whatever AQE coalesced the verify join to
-    // (often a handful of fat partitions — "small bytes" ≠ small heap once
-    // boxed), and at 16M docs the unbounded form OOMed the 16-core scaling
-    // level. Round-robin, not hash-by-source: hashing would funnel a hub
-    // node's entire (possibly multi-million-edge) neighborhood into one
-    // task, re-creating the OOM under degree skew.
-    val raw0 = p.select(col("id_a").as("s"), col("id_b").as("t"))
-      .union(p.select(col("id_b").as("s"), col("id_a").as("t")))
-    var edges: DataFrame =
-      if (nEdges0 <= edgesPerTask) raw0
-      else raw0.repartition(
-        math.max(parts, math.ceil(nEdges0.toDouble / edgesPerTask).toInt))
+    // Level-0 edges: UNSYMMETRIZED (union-find is orientation-blind, and
+    // doubling the rows doubles the task input for zero extra merging),
+    // HASH-PARTITIONED BY SOURCE NODE. Hash-by-s colocates each node's
+    // out-star, so the task-local union-find collapses whole components
+    // that fit a partition — measured on the 4M-doc bench graph, the glue
+    // graph shrinks from ~0.75× the edge set (round-robin level 0: almost
+    // no consolidation, instant non-shrink fallback) to near-zero, which
+    // is the whole point of contracting. Memory stays bounded by
+    // construction: the explicit partition count caps EXPECTED edges per
+    // task, and per-node degree is capped by the pair MINERS themselves
+    // (bandedPairs/cappedPairExpansion emit ≤ bands × maxBucket neighbors
+    // per node), so no hub can funnel millions of edges into one task.
+    // Callers feeding UNCAPPED pair sets with extreme hubs should raise
+    // edgesPerTask headroom accordingly (scaladoc contract); the 16M-doc
+    // OOM of round 4 came from AQE coalescing the mined frame into a few
+    // fat partitions, which the explicit repartition below rules out
+    // either way.
+    //
+    // Contraction partitioning is DATA-SIZED, not core-proportional: the
+    // mapping/glue volume a level emits GROWS with its partition count
+    // (each extra partition splits components and every split is a glue
+    // edge), so sizing partitions to cores makes the 4N-executor run do
+    // MORE total work than the N run — measured as a structural scaling
+    // penalty (0.59 efficiency) before this was fixed. With a fixed
+    // data-sized count, both cluster sizes contract the identical graph
+    // into identical partitions and parallelism comes from scheduling
+    // those tasks across more cores, which is the scalable axis.
+    def dataSizedParts(n: Long): Int =
+      math.max(1, math.ceil(n.toDouble / edgesPerTask).toInt)
+    var edges: DataFrame = p.select(col("id_a").as("s"), col("id_b").as("t"))
+      .repartition(dataSizedParts(nEdges0), col("s"))
     var edgesCk: DataFrame = null // checkpoint behind `edges` at levels ≥ 1
     var nE = nEdges0
     val mappings = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -678,39 +703,64 @@ object Dedup {
     var level = 0
     while (top == null) {
       val t0 = System.nanoTime()
-      // mapping row count rides the checkpoint action (observe, no extra
-      // job); it is Σ per-partition node counts — a conservative (over-)
-      // estimate of the survivor graph's size, which is the safe direction
-      // for a driver-materialization gate
-      val sObs = org.apache.spark.sql.Observation()
-      val sCk = contractMapping(edges)
-        .observe(sObs, coalesce(count(lit(1)), lit(0L)).as("n"))
+      // ONE aggregate per level carries everything the level needs: the
+      // canonical rep (min over the node's per-partition reps — the
+      // back-prop mapping) AND the full rep set (collect_set, bounded by
+      // partitions-touched ≤ partition count, NOT by degree), from which
+      // the glue edges project without any join. Both row counts ride the
+      // same checkpoint action as observe metrics. Folding the former
+      // separate mapping-checkpoint + canonicalize-checkpoint + glue-JOIN
+      // into this single aggregate removed one barrier and a
+      // corpus-of-nodes-sized shuffle join per level.
+      val aObs = org.apache.spark.sql.Observation()
+      val agg = contractMapping(edges)
+        .groupBy(col("node"))
+        .agg(min(col("rep")).as("rep"), collect_set(col("rep")).as("__reps"))
+        .observe(aObs,
+          coalesce(count(lit(1)), lit(0L)).as("nodes"),
+          coalesce(sum(size(col("__reps")).cast("long")), lit(0L)).as("pairs"))
         .localCheckpoint()
-      val nS = sObs.get("n").asInstanceOf[Long]
+      val nNodes = aObs.get("nodes").asInstanceOf[Long]
+      val nPairs = aObs.get("pairs").asInstanceOf[Long]
       if (edgesCk != null) { releaseLocalCheckpoint(edgesCk); edgesCk = null }
-      if (nS <= finalBudget) {
-        // survivor graph fits the driver: mapping rows ARE edges
-        // (node—rep), solve locally — the terminal phase of the design
-        top = driverSolveLabels(spark, sCk.collect(), idType)
-        releaseLocalCheckpoint(sCk)
-        if (debug) println(f"CC_LEVEL $level%d SOLVE n=$nS%d " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (nPairs <= finalBudget) {
+        // the full (node—rep) multi-mapping fits the driver: those rows
+        // ARE edges of the survivor graph, solve locally — the terminal
+        // phase of the design
+        top = driverSolveLabels(spark,
+          agg.select(col("node"), explode(col("__reps")).as("rep")).collect(),
+          idType)
+        releaseLocalCheckpoint(agg)
+        if (debug) println(f"CC_LEVEL $level%d SOLVE nodes=$nNodes%d " +
+          f"pairs=$nPairs%d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } else if (nPairs == nNodes) {
+        // every node saw exactly ONE partition → no node links two
+        // partition-local sets → the glue graph is empty BY ARITHMETIC;
+        // skip the glue action entirely. Labels come from the
+        // back-propagation fallback (each node's rep — its set minimum —
+        // which for a fully-contracted component is the global minimum).
+        mappings += agg.select(col("node"), col("rep"))
+        top = emptyLabels(spark, idType)
+        if (debug) println(f"CC_LEVEL $level%d nodes=$nNodes%d " +
+          f"pairs=$nPairs%d next=0(arith) ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } else {
-        // canonical rep per node: partial+final min over the node's
-        // per-partition reps — no node's rep set ever gathers unaggregated
-        val m = sCk.groupBy(col("node")).agg(min(col("rep")).as("rep"))
-          .localCheckpoint()
-        mappings += m
+        mappings += agg.select(col("node"), col("rep")) // rides agg's ckpt
         // next level's edges: each node glues its canonical rep to every
         // other rep it saw — the graph shrinks to cross-partition glue
-        // nodes only. Duplicates are left in deliberately (union-find
-        // absorbs them; a distinct() would pay a pure-overhead shuffle).
-        // Symmetrized in ONE pass (explode, not a self-union that would
-        // run the join twice); the fixpoint fallback requires symmetry.
+        // only. DEDUPLICATED BEFORE SYMMETRIZING: the projection emits one
+        // (canonical, local-rep) row per NODE, but the information is per
+        // REP PAIR — on the 4M-doc bench graph the raw glue is ~4.6M rows
+        // whose distinct set is far smaller, so skipping the distinct()
+        // "to save a shuffle" feeds the next level a nearly-unshrunken
+        // graph and defeats the contraction (measured: instant non-shrink
+        // fallback). The distinct's partial+final aggregate collapses
+        // duplicates map-side; symmetrization explodes AFTER it (the
+        // fixpoint fallback requires symmetry).
         val eObs = org.apache.spark.sql.Observation()
-        val nextCk = sCk.select(col("node"), col("rep").as("r2"))
-          .join(m.select(col("node"), col("rep").as("r1")), "node")
+        val nextCk = agg.where(size(col("__reps")) > 1)
+          .select(col("rep").as("r1"), explode(col("__reps")).as("r2"))
           .where(col("r1") =!= col("r2"))
+          .distinct()
           .select(explode(array(
             struct(col("r1").as("s"), col("r2").as("t")),
             struct(col("r2").as("s"), col("r1").as("t")))).as("e"))
@@ -718,15 +768,20 @@ object Dedup {
           .observe(eObs, coalesce(count(lit(1)), lit(0L)).as("n"))
           .localCheckpoint()
         val nNext = eObs.get("n").asInstanceOf[Long]
-        releaseLocalCheckpoint(sCk)
-        if (debug) println(f"CC_LEVEL $level%d nodes=$nS%d next=$nNext%d " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (debug) println(f"CC_LEVEL $level%d nodes=$nNodes%d " +
+          f"pairs=$nPairs%d next=$nNext%d ${(System.nanoTime() - t0) / 1e9}%.2f s")
         if (nNext == 0L) {
           // every component fully contracted: labels come entirely from
           // the back-propagation fallback (rep itself — the global min,
           // see the invariant in the scaladoc)
           releaseLocalCheckpoint(nextCk)
           top = emptyLabels(spark, idType)
+        } else if (nNext <= math.min(edgesPerTask, finalBudget)) {
+          // deduped glue already fits the driver: solve it directly —
+          // contracting it first would buy one more level of barriers to
+          // shrink a graph the solve bound already accepts
+          top = driverSolveLabels(spark, nextCk.collect(), idType)
+          releaseLocalCheckpoint(nextCk)
         } else if (level + 1 >= maxIters || nNext > (nE * 7) / 10) {
           // pathological non-shrinking graph: finish the (by now much
           // smaller) survivor graph with the diameter-bounded min-label
@@ -743,9 +798,7 @@ object Dedup {
           // bounded by the PREVIOUS level's per-task node count, so the
           // worst task is one budget plus one bounded hub neighborhood —
           // not the unbounded raw-degree exposure level 0 avoids.
-          edges = nextCk.repartition(
-            math.max(parts, math.ceil(nNext.toDouble / edgesPerTask).toInt),
-            col("s"))
+          edges = nextCk.repartition(dataSizedParts(nNext), col("s"))
           edgesCk = nextCk
           nE = nNext
           level += 1
@@ -769,7 +822,10 @@ object Dedup {
       // one checkpoint materializes the whole back-prop chain, then every
       // intermediate (mappings, top-level labels) is released — the caller
       // holds 2 columns × edge-incident nodes, nothing else
+      val tBp = System.nanoTime()
       val out = labels.localCheckpoint()
+      if (debug) println(
+        f"CC_BACKPROP levels=${mappings.size}%d ${(System.nanoTime() - tBp) / 1e9}%.2f s")
       mappings.foreach(releaseLocalCheckpoint)
       releaseLocalCheckpoint(top)
       out
@@ -997,17 +1053,43 @@ object Dedup {
       shingleSize: Int = 3,
       thresholdPpm: Long = 700000L,
       maxBucket: Int = 1000): DataFrame = {
+    incrementalNearDupCore(
+      fastShingleSets(newDocs, idCol, "id_n", textCol, shingleSize),
+      fastShingleSets(corpus, idCol, "id_c", textCol, shingleSize),
+      fastBandKeys(_, _, numHashes, bands), idCol, thresholdPpm, maxBucket)
+  }
+
+  /** Production (xxhash64) shingle-set projection — ONE definition shared
+    * by the batch probe, the persisted-artifact writer/reader
+    * ([[CorpusArtifacts]]) and the streaming face, so the hash family the
+    * artifact stores and the one the probe computes cannot drift.
+    */
+  private[graft] def fastShingleSets(
+      df: DataFrame, idCol: String, idAs: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol).as(idAs),
+      graft.expressions.ShingleHashes(col(textCol), shingleSize).as("sh"))
+
+  /** Production band keys from a [[fastShingleSets]] frame (same two-step
+    * projection as the batch families: the band array references `mh`
+    * `bands` times, which stops CollapseProject from inlining — and
+    * recomputing — the signature per band).
+    */
+  private[graft] def fastBandKeys(
+      withSets: DataFrame, idAs: String, numHashes: Int, bands: Int): DataFrame =
+    withSets
+      .select(col(idAs), minHashFromHashes(col("sh"), numHashes).as("mh"))
+      .select(col(idAs), explode(fastBandArray(col("mh"), numHashes, bands)).as("band_key"))
+
+  /** The band-key array itself (one xxhash64 long per band over the
+    * signature slice) — exposed separately so faces that must carry extra
+    * columns through the banding (the streaming probe carries its event
+    * time) explode the SAME keys the artifacts store.
+    */
+  private[graft] def fastBandArray(mh: Column, numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    def sets(df: DataFrame, idAs: String) = df.select(
-      col(idCol).as(idAs),
-      graft.expressions.ShingleHashes(col(textCol), shingleSize).as("sh"))
-    def bandKeys(withSets: DataFrame, idAs: String) = withSets
-      .select(col(idAs), minHashFromHashes(col("sh"), numHashes).as("mh"))
-      .select(col(idAs), explode(array((0 until bands).map(b =>
-        xxhash64(slice(col("mh"), b * r + 1, r), lit(b))): _*)).as("band_key"))
-    incrementalNearDupCore(sets(newDocs, "id_n"), sets(corpus, "id_c"),
-      bandKeys, idCol, thresholdPpm, maxBucket)
+    array((0 until bands).map(b => xxhash64(slice(mh, b * r + 1, r), lit(b))): _*)
   }
 
   /** The family-independent incremental-LSH probe: corpus band table →

@@ -11,10 +11,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * processing, output shape) is real and tested. IMAGE decode is real too:
   * three codecs — 24-bit BMP and binary PPM parsed from their public byte
   * layouts, plus PNG/JPEG/GIF through the JDK's javax.imageio — feed both
-  * the metadata queries and [[decodeFeatures]]. Only payloads with no JDK
-  * codec at all (audio/video; this container ships no media libraries)
-  * fall back to the clearly-marked deterministic [[decodeStub]]; swapping
-  * it for a JNI/javacv decoder changes no plumbing.
+  * the metadata queries and [[decodeFeatures]]. AUDIO decode is real too:
+  * PCM WAV through javax.sound.sampled ([[decodeWav]]). Only payloads
+  * with no JDK codec at all (video; this container ships no media
+  * libraries) fall back to the clearly-marked deterministic
+  * [[decodeStub]]; swapping it for a JNI/javacv decoder changes no
+  * plumbing.
   */
 object Multimodal {
 
@@ -93,9 +95,10 @@ object Multimodal {
 
   /** Real-first decode: payloads carrying a JDK-decodable image magic
     * (PNG / JPEG / GIF / BMP) decode through javax.imageio and yield
-    * pixel-derived features (dimensions + per-channel means); everything
-    * else — audio/video payloads and the synthetic text stand-ins, for
-    * which this container has no codec — falls back to [[decodeStub]].
+    * pixel-derived features (dimensions + per-channel means); RIFF/WAVE
+    * audio decodes through javax.sound ([[decodeWav]]) into rate/length/
+    * amplitude features. Only payloads with no JDK codec at all — video
+    * and the synthetic text stand-ins — fall back to [[decodeStub]].
     */
   private[graft] def decodeAuto(bytes: Array[Byte], dim: Int): Array[Float] = {
     def b(i: Int) = bytes(i) & 0xff
@@ -104,6 +107,24 @@ object Multimodal {
         (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) ||
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
         (b(0) == 'B' && b(1) == 'M'))
+    val looksWav = bytes.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    if (looksWav) {
+      // same fall-through rule as images: a matching magic does not
+      // guarantee a decodable body
+      try {
+        val m = decodeWav(-1L, bytes)
+        val head = Array(
+          m.sample_rate.toFloat / 48000f,
+          m.n_samples.toFloat / 1e6f,
+          if (m.n_samples == 0) 0f
+          else m.sum_abs.toFloat / m.n_samples / 32768f,
+          if (m.n_samples == 0) 0f
+          else m.sum_signed.toFloat / m.n_samples / 32768f)
+        return java.util.Arrays.copyOf(head, dim)
+      } catch { case _: Exception => return decodeStub(bytes, dim) }
+    }
     // a matching magic does NOT guarantee a decodable body (a text payload
     // can legitimately start with "BM" or "GIF8"): ImageIO signals garbage
     // bodies with exceptions, not just null — either way, fall back
@@ -482,6 +503,118 @@ object Multimodal {
     media.select(col("doc_id").cast("long"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.map { case (id, bytes) => decodeBmp(id, bytes) })
+      }
+  }
+
+  // ---- real codec #4: WAV / PCM audio via the JDK's javax.sound ------------
+  //
+  // The audio closure (same zero-dep discipline as PNG/JPEG): synthesis
+  // writes the public RIFF/WAVE byte layout directly; decode goes through
+  // javax.sound.sampled — a codec we did NOT write — so the oracle
+  // certifies our byte layout and the JDK's WAV reader agree on every
+  // sample. With this, [[decodeStub]] covers VIDEO payloads only.
+
+  /** Decoded WAV facts: format fields + exact integer sample sums (a
+    * byte-order or sign bug shows up as a wrong sum; a header bug as a
+    * wrong rate/count).
+    */
+  final case class WavMeta(
+      doc_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      duration_us: Long,
+      sum_abs: Long,
+      sum_signed: Long)
+
+  /** Deterministic 16-bit PCM mono WAV for doc `id`: sample rate
+    * 8000/16000/22050 by `id % 3`, `16 + (id*5) % 241` samples, a square
+    * wave of amplitude `1000 + (id*13) % 20000` flipping sign every
+    * `1 + id % 9` samples — every decoded field and sample sum has a
+    * closed form in `id`, so the DuckDB oracle reproduces them exactly.
+    * Standard RIFF layout: 12-byte RIFF/WAVE header, 16-byte PCM `fmt `
+    * chunk, `data` chunk with little-endian signed 16-bit samples.
+    */
+  def synthesizeWav(id: Long): Array[Byte] = {
+    val rate = Array(8000, 16000, 22050)(Math.floorMod(id, 3L).toInt)
+    val n = (16 + Math.floorMod(id * 5, 241L)).toInt
+    val amp = (1000 + Math.floorMod(id * 13, 20000L)).toInt
+    val hp = (1 + Math.floorMod(id, 9L)).toInt
+    val dataLen = 2 * n
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + dataLen) // bytes after this field
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16) // PCM fmt chunk size
+    bb.putShort(1) // audio format 1 = linear PCM
+    bb.putShort(1) // mono
+    bb.putInt(rate)
+    bb.putInt(rate * 2) // byte rate
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII"))
+    bb.putInt(dataLen)
+    var s = 0
+    while (s < n) {
+      bb.putShort((if ((s / hp) % 2 == 0) amp else -amp).toShort)
+      s += 1
+    }
+    bb.array()
+  }
+
+  /** Real decode of a PCM WAV through javax.sound.sampled: the JDK parses
+    * the RIFF chunks and exposes format + frames; we walk the decoded
+    * little-endian signed 16-bit samples for the exact integer sums.
+    * Unsupported variants (non-PCM, non-16-bit, multi-channel) error
+    * loudly — the decodePpm/decodeBmp rule: never produce garbage features.
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): WavMeta = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"unsupported WAV encoding ${fmt.getEncoding} (doc $id)")
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unsupported WAV layout ${fmt.getSampleSizeInBits}-bit/" +
+          s"${fmt.getChannels}ch (doc $id): this pipeline decodes 16-bit mono")
+      require(!fmt.isBigEndian, s"big-endian WAV unsupported (doc $id)")
+      val rate = math.round(fmt.getSampleRate).toLong
+      val n = in.getFrameLength
+      require(n >= 0, s"WAV frame length unknown (doc $id)")
+      val data = in.readAllBytes()
+      require(data.length == 2 * n, s"truncated WAV data (doc $id)")
+      var sumAbs = 0L
+      var sumSigned = 0L
+      var i = 0
+      while (i < data.length) {
+        val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+        sumAbs += math.abs(v)
+        sumSigned += v
+        i += 2
+      }
+      WavMeta(id, rate, n, n * 1000000L / rate, sumAbs, sumSigned)
+    } finally in.close()
+  }
+
+  /** WAV twin of [[bmpTable]]. */
+  def wavTable(spark: SparkSession, ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthesizeWav(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** WAV twin of [[decodeBmpMeta]] — same batched per-partition plumbing,
+    * real third-party (JDK) codec.
+    */
+  def decodeWavMeta(
+      spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[WavMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) => decodeWav(id, bytes) })
       }
   }
 }

@@ -116,6 +116,67 @@ object StreamRouter {
       textCol: String = "text"): DataFrame =
     graft.dedup.Dedup.incrementalExact(stream, corpus, idCol, textCol)
 
+  /** Streaming INCREMENTAL NEAR-DUP vs a sealed corpus — the streaming
+    * face of [[graft.dedup.CorpusArtifacts.incrementalNearDupPrepared]]:
+    * each arriving document is MinHash-banded (production xxhash64 family,
+    * the SAME [[graft.dedup.Dedup.fastBandArray]] keys the persisted band
+    * table stores), stream-static-joined against the corpus band table
+    * (stateless — the static side plans per micro-batch; at real scale it
+    * is the bucketed artifact, read exchange-free), and verified by exact
+    * Jaccard against the corpus shingle-set table. Corpus-internal pairs
+    * never materialize, same as batch.
+    *
+    * One streaming-specific step: a new doc colliding with the same corpus
+    * doc in several bands yields duplicate (doc, corpus) candidates, which
+    * batch removes with `distinct()` — a stateful aggregation streaming
+    * append mode cannot run unbounded. Here the duplicates all carry the
+    * row's own event time, so the watermarked
+    * `dropDuplicatesWithinWatermark` removes them with state bounded by
+    * `delay` × match-rate (they are always in the same micro-batch; the
+    * watermark is the formality that bounds the state store).
+    *
+    * @param bandTable static (band_key, id_c) frame —
+    *                  [[graft.dedup.CorpusArtifacts.nearDupCorpusTables]]
+    *                  or the persisted bucketed artifact.
+    * @param setsTable static (id_c, sh) frame, same provenance.
+    * @param spec      the SAME spec the tables were built with.
+    * @return (idCol, corpus_id, jaccard_ppm, tsCol) — one row per verified
+    *         (new doc, corpus doc) pair, jaccard_ppm ≥ threshold;
+    *         differentially tested vs the batch operator on closed batches.
+    */
+  def incrementalNearDup(
+      stream: DataFrame,
+      bandTable: org.apache.spark.sql.DataFrame,
+      setsTable: org.apache.spark.sql.DataFrame,
+      spec: graft.dedup.CorpusArtifacts.NearDupSpec,
+      tsCol: String,
+      delay: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      thresholdPpm: Long = 700000L): DataFrame = {
+    val withSets = stream.select(
+      col(idCol).as("__id_n"), col(tsCol).as("__ts"),
+      graft.expressions.ShingleHashes(col(textCol), spec.shingleSize).as("__sh"))
+    // two-step projection, same reason as the batch families: the band
+    // array references the signature `bands` times
+    val banded = withSets
+      .select(col("__id_n"), col("__ts"), col("__sh"),
+        graft.dedup.Dedup.minHashFromHashes(col("__sh"), spec.numHashes).as("__mh"))
+      .select(col("__id_n"), col("__ts"), col("__sh"),
+        explode(graft.dedup.Dedup.fastBandArray(
+          col("__mh"), spec.numHashes, spec.bands)).as("band_key"))
+    banded
+      .join(bandTable, "band_key") // stream-static: stateless
+      .join(setsTable.withColumnRenamed("sh", "sh_c"), "id_c")
+      .withColumn("jaccard_ppm",
+        graft.dedup.Dedup.jaccardPpm(col("__sh"), col("sh_c")))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select(col("__id_n").as(idCol), col("id_c").as("corpus_id"),
+        col("jaccard_ppm"), col("__ts").as(tsCol))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol, "corpus_id")
+  }
+
   /** Streaming benchmark decontamination: annotate every document with the
     * number of DISTINCT eval-set k-word spans it contains (and a
     * contamination flag) — the streaming analog of

@@ -52,6 +52,112 @@ object Vocab {
         coalesce(col("token_id"), lit(-1L)).as("token_id"))
   }
 
+  /** Subword (BPE) vocabulary fit: learn `nMerges` byte-pair merges over
+    * the corpus word-frequency table and re-encode every pre-token as its
+    * word pieces — the merge-based subword stage real pipelines run where
+    * [[fitEncode]] stops at whole words.
+    *
+    * Semantics (deterministic, integer/binary-exact in both engines):
+    *  - pre-tokens are lowercase letter/digit runs
+    *    (`[a-z]+|[0-9]+` — the safe-alphabet slice of
+    *    [[TextFunctions.bpeTokenPattern]]; symbols never contain the
+    *    internal cell delimiters);
+    *  - each round counts ADJACENT SYMBOL PAIRS across the distinct-word
+    *    table weighted by word frequency (one count per occurrence, the
+    *    classic BPE statistic), elects the (count desc, left asc, right
+    *    asc) maximum — a total order, so ties are deterministic — and
+    *    applies the merge greedily LEFT-TO-RIGHT within every word;
+    *  - greedy application rides a plain string `replace` over the
+    *    wrapped-cell encoding `",sym;,sym;…"`: a match consumes both
+    *    cells and the standard scan-continues-after-replacement semantics
+    *    (identical in Spark and DuckDB) IS BPE's non-overlapping
+    *    left-to-right rule.
+    *
+    * 100 TB shape: the corpus collapses to the distinct-word frequency
+    * table via one partial+final count — the merge loop never touches the
+    * corpus again. Each round is one aggregate over that (vocabulary-
+    * sized) table plus a 1-row TakeOrdered election, materialized per
+    * round via localCheckpoint exactly like the CC fixpoint (bounded
+    * driver loop, superseded rounds released). Re-encode joins the
+    * corpus's pre-tokens against the ≤|vocab| word→pieces map once;
+    * piece ids broadcast from a ≤(alphabet+nMerges)-row table.
+    *
+    * @return (idCol, word_pos, piece_pos, piece, piece_id) — one row per
+    *         word piece; piece_id dense 0..V-1 in piece lexicographic
+    *         order.
+    */
+  def bpeFitEncode(
+      docs: DataFrame,
+      nMerges: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nMerges >= 0, s"bpeFitEncode nMerges must be >= 0, got $nMerges")
+    val pretok = docs.select(col(idCol),
+      posexplode(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)"))
+        .as(Seq("word_pos", "word")))
+    var words = pretok.groupBy(col("word")).agg(count(lit(1)).as("__n"))
+      .withColumn("cells", regexp_replace(col("word"), "(.)", ",$1;"))
+      .localCheckpoint()
+    val symsOf = expr("split(substring(cells, 2, length(cells) - 2), ';,')")
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val best = words
+        .select(col("__n"), symsOf.as("__syms"))
+        // single-symbol words contribute no pairs — and must be filtered
+        // BEFORE the index expression: Spark's sequence(1, 0) counts DOWN
+        // ([1, 0]), so an unguarded transform would evaluate
+        // element_at(syms, 0) and error under ANSI indexing
+        .where(size(col("__syms")) >= 2)
+        .select(col("__n"), explode(expr(
+          "transform(sequence(1, size(__syms) - 1), " +
+            "i -> struct(element_at(__syms, i) AS l, element_at(__syms, i + 1) AS r))"))
+          .as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        // symbols are [a-z0-9]+ by the pre-tokenizer contract, so the cell
+        // pattern needs no escaping and cannot straddle cell boundaries
+        val next = words.withColumn("cells",
+          expr(s"replace(cells, ',$l;,$r;', ',$l$r;')")).localCheckpoint()
+        releaseLocalCheckpoint(words)
+        words = next
+      }
+      round += 1
+    }
+    val pieces = words.select(col("word"), symsOf.as("pieces"))
+    // piece inventory is bounded by |alphabet| + nMerges — the window
+    // ranks only that bounded table, never the corpus
+    val vocab = pieces.select(explode(col("pieces")).as("piece")).distinct()
+      .withColumn("piece_id",
+        row_number().over(Window.orderBy(col("piece").asc)).cast("long") - 1L)
+    val out = pretok
+      .join(pieces, "word")
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("pieces")).as(Seq("piece_pos", "piece")))
+      .join(broadcast(vocab), "piece")
+      .select(col(idCol), col("word_pos"),
+        col("piece_pos").cast("long").as("piece_pos"), col("piece"),
+        col("piece_id"))
+    // the words checkpoint must survive until the returned plan is
+    // evaluated; it is vocabulary-sized (the superseded rounds were the
+    // transient cost, and those are already released)
+    out
+  }
+
+  /** Unpersist the block-manager blocks behind a localCheckpoint'ed frame
+    * (same rationale as the dedup fixpoint's release).
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Lay each document's token stream out as fixed-budget context chunks:
     * chunk `i` covers word positions [i·chunkSize, min((i+1)·chunkSize, n)).
     * Documents with zero tokens produce no chunks. Pure narrow arithmetic —

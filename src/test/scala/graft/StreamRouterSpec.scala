@@ -181,6 +181,47 @@ class StreamRouterSpec extends AnyFunSuite {
       ("n1", "c1", true), ("n2", "-1", false), ("n3", "c3", true)))
   }
 
+  test("streaming incremental NEAR-dup ≡ batch LSH probe on closed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.{CorpusArtifacts, Dedup}
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val corpus = Seq(
+      ("c1", "the quick brown fox jumps over the lazy dog again today"),
+      ("c2", "a completely different corpus document about spark planning"),
+      ("c3", "the quick brown fox jumps over the lazy dog again tomorrow"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      ("n1", ts(100), "the quick brown fox jumps over the lazy dog again today"),
+      ("n2", ts(110), "nothing like anything sealed whatsoever in this corpus"),
+      ("n3", ts(120), "the quick brown fox jumps over the lazy dog again yesterday"))
+    val spec = CorpusArtifacts.NearDupSpec(
+      numHashes = 16, bands = 4, shingleSize = 3, maxBucket = 100)
+    val (bandT, setsT) = CorpusArtifacts.nearDupCorpusTables(corpus, spec)
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val stream = mem.toDF.toDF("doc_id", "ts", "text")
+    val out = StreamRouter.incrementalNearDup(stream, bandT, setsT, spec,
+      tsCol = "ts", delay = "10 seconds", thresholdPpm = 500000L)
+    mem.addData(fresh: _*)
+    val q = out.writeStream.format("memory").queryName("incneardup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("incneardup_stream")
+      .select("doc_id", "corpus_id", "jaccard_ppm")
+      .as[(String, String, Long)].collect().toSet
+    val batch = Dedup.incrementalNearDupPairsFast(
+      fresh.toDF("doc_id", "ts", "text"), corpus,
+      numHashes = 16, bands = 4, shingleSize = 3,
+      thresholdPpm = 500000L, maxBucket = 100)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    // the near matches are found; the unrelated doc is not; multi-band
+    // collisions did not duplicate pairs
+    assert(got.map(p => (p._1, p._2)).contains(("n1", "c1")))
+    assert(!got.exists(_._1 == "n2"))
+    assert(got.size == got.map(p => (p._1, p._2)).size)
+  }
+
   test("streaming sessionization: closed sessions ≡ batch aggregates, timeout closes idle state") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

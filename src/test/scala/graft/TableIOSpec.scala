@@ -127,4 +127,115 @@ class TableIOSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bktd_dims")
     }
   }
+
+  test("incremental dedup against persisted bucketed artifacts: values identical, ZERO corpus-side exchange") {
+    import graft.dedup.{CorpusArtifacts, Dedup}
+    import graft.sources.BucketedIO
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpusart").toString
+    // synthetic corpus with planted dups; the new batch re-uses corpus
+    // texts (exact + near matches) and adds unseen ones
+    val corpus = Synth.documents(spark, 3000L)
+    val newBatch = corpus.filter(col("doc_id") % 8 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val spec = CorpusArtifacts.NearDupSpec(
+      numHashes = 16, bands = 4, shingleSize = 3, maxBucket = 200)
+    CorpusArtifacts.writeExactFingerprints(
+      corpus, "graft_art_fp", s"$dir/fp", buckets = 8)
+    CorpusArtifacts.writeNearDupArtifacts(
+      corpus, spec, "graft_art_nd", s"$dir/nd", buckets = 8)
+    try {
+      val fpT = BucketedIO.readTable(spark, "graft_art_fp")
+      val bandT = BucketedIO.readTable(spark, "graft_art_nd_bands")
+      val setsT = BucketedIO.readTable(spark, "graft_art_nd_sets")
+
+      // force the sort-merge path: a broadcast of the corpus side would
+      // trivially show zero exchange without exercising the bucket layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val gotExact = CorpusArtifacts.incrementalExactPrepared(newBatch, fpT)
+        .select("doc_id", "corpus_keeper", "in_corpus")
+      val wantExact = Dedup.incrementalExact(newBatch, corpus)
+        .select("doc_id", "corpus_keeper", "in_corpus")
+      assert(gotExact.exceptAll(wantExact).isEmpty &&
+        wantExact.exceptAll(gotExact).isEmpty)
+
+      val gotNd = CorpusArtifacts.incrementalNearDupPrepared(
+        newBatch, bandT, setsT, spec, thresholdPpm = 500000L)
+      val wantNd = Dedup.incrementalNearDupPairsFast(newBatch, corpus,
+        numHashes = 16, bands = 4, shingleSize = 3,
+        thresholdPpm = 500000L, maxBucket = 200)
+      assert(gotNd.count() > 0, "test corpus must yield near-dup probes")
+      assert(gotNd.exceptAll(wantNd).isEmpty && wantNd.exceptAll(gotNd).isEmpty)
+
+      // plan shape: between each bucketed corpus scan and its consuming
+      // join there must be NO shuffle — the increment side may (and does)
+      // exchange; the corpus side must not. Root-to-scan paths are walked
+      // and the segment scan→nearest-join-ancestor checked.
+      def rootToScanPaths(
+          p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+        case a: AdaptiveSparkPlanExec => rootToScanPaths(a.executedPlan, p :: acc)
+        case q: QueryStageExec => rootToScanPaths(q.plan, q :: acc)
+        case f: FileSourceScanExec => Seq(f :: acc) // path: scan, parents…
+        case o => o.children.flatMap(c => rootToScanPaths(c, o :: acc))
+      }
+      def assertCorpusSideExchangeFree(df: DataFrame): Unit = {
+        df.collect() // materialize so AQE finalizes the plan
+        val paths = rootToScanPaths(df.queryExecution.executedPlan, Nil)
+        val corpusPaths = paths.filter(_.head match {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains(dir))
+          case _ => false
+        })
+        assert(corpusPaths.nonEmpty, "expected bucketed corpus scans in plan")
+        corpusPaths.foreach { path =>
+          val toJoin = path.takeWhile(!_.isInstanceOf[BaseJoinExec])
+          assert(!toJoin.exists(_.isInstanceOf[ShuffleExchangeLike]),
+            s"corpus-side scan re-shuffled before its join:\n" +
+              df.queryExecution.executedPlan)
+        }
+      }
+      assertCorpusSideExchangeFree(
+        CorpusArtifacts.incrementalExactPrepared(newBatch, fpT))
+      assertCorpusSideExchangeFree(
+        CorpusArtifacts.incrementalNearDupPrepared(
+          newBatch, bandT, setsT, spec, thresholdPpm = 500000L))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_art_fp")
+      spark.sql("DROP TABLE IF EXISTS graft_art_nd_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_art_nd_sets")
+    }
+  }
+
+  test("clustersCached: mines once, rereads the artifact, invalidates on fingerprint/key change") {
+    import graft.dedup.CorpusArtifacts
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_clart").toString
+    val docs = (0L until 50L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    var mines = 0
+    def mine(): org.apache.spark.sql.DataFrame = {
+      mines += 1
+      graft.dedup.Dedup.nearDupClusters(docs, pairs)
+    }
+    val c1 = CorpusArtifacts.clustersCached(spark, "fpA", "k1", base, () => mine())
+    val want = c1.as[(Long, Long)].collect().toSet
+    assert(mines == 1 && want.size == 50)
+    assert(want.contains((2L, 0L)) && want.contains((11L, 10L)))
+    // same keys → artifact hit, no re-mine, identical values
+    val c2 = CorpusArtifacts.clustersCached(spark, "fpA", "k1", base, () => mine())
+    assert(mines == 1 && c2.as[(Long, Long)].collect().toSet == want)
+    // corpus changed → re-mine; miner version changed → re-mine
+    CorpusArtifacts.clustersCached(spark, "fpB", "k1", base, () => mine())
+    assert(mines == 2)
+    CorpusArtifacts.clustersCached(spark, "fpA", "k2", base, () => mine())
+    assert(mines == 3)
+  }
 }

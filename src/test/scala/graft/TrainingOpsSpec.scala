@@ -763,6 +763,64 @@ class VocabSpec extends AnyFunSuite {
     assert(out(("a", 2L)) == (1L, "w4")) // remainder chunk
     assert(out(("b", 0L)) == (2L, "u0"))
   }
+
+  test("bpeFitEncode matches a local reference BPE (weighted counts, greedy left-to-right, overlap rule)") {
+    // "aaaa aa aaa" exercises the overlap rule: merge (a,a) on "aaaa" must
+    // give [aa, aa] (greedy non-overlapping), on "aaa" → [aa, a]
+    val corpus = Seq(
+      (1L, "low lower lowest Low, LOW!"),
+      (2L, "newer newest new low 42 low42x"),
+      (3L, "aaaa aa aaa aaaa aaaa"))
+    val docs = corpus.toDF("doc_id", "text")
+    val nMerges = 6
+
+    // local reference implementation (same published semantics)
+    def pretoks(t: String): List[String] =
+      "[a-z]+|[0-9]+".r.findAllIn(t.toLowerCase).toList
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val wordCounts = corpus.flatMap(d => pretoks(d._2))
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    var wordSyms: Map[String, List[String]] =
+      wordCounts.keys.map(w => w -> w.split("").toList).toMap
+    for (_ <- 1 to nMerges) {
+      val pairCounts = wordSyms.toSeq.flatMap { case (w, syms) =>
+        syms.zip(syms.tail).map(p => p -> wordCounts(w))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairCounts.nonEmpty) {
+        val ((l, r), _) = pairCounts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }
+        wordSyms = wordSyms.map { case (w, s) => w -> applyMerge(s, l, r) }
+      }
+    }
+    val pieceIds = wordSyms.values.flatten.toSeq.distinct.sorted
+      .zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
+    val want = corpus.flatMap { case (id, t) =>
+      pretoks(t).zipWithIndex.flatMap { case (w, wp) =>
+        wordSyms(w).zipWithIndex.map { case (p, pp) =>
+          (id, wp.toLong, pp.toLong, p, pieceIds(p))
+        }
+      }
+    }.toSet
+
+    val got = Vocab.bpeFitEncode(docs, nMerges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(got == want, s"got ${got.toSeq.sorted.take(10)}…")
+    // the overlap rule actually fired: after merge (a,a), "aaa" must be
+    // [aa, a] (greedy left-to-right), never [a, aa]
+    val aaa = got.filter(g => g._1 == 3L && g._2 == 2L).toSeq.sortBy(_._3)
+    assert(aaa.map(_._4) == Seq("aa", "a"),
+      s"greedy left-to-right on aaa: $aaa")
+  }
 }
 
 class KmvSpec extends AnyFunSuite {
@@ -1094,6 +1152,53 @@ class MultimodalSpec extends AnyFunSuite {
     for (id <- 0L until 40L) {
       val local = Multimodal.decodeBmp(id, Multimodal.synthesizeBmp(id))
       assert(got(id) == ((local.width, local.height, local.pixel_sum)))
+    }
+  }
+
+  test("WAV codec: javax.sound decode recovers every closed-form field and sample sum") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 8L, 123L, 9999L)) {
+      val bytes = Multimodal.synthesizeWav(id)
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      val m = Multimodal.decodeWav(id, bytes)
+      val rate = Array(8000, 16000, 22050)((id % 3).toInt)
+      val n = 16 + (id * 5) % 241
+      val amp = 1000 + (id * 13) % 20000
+      val hp = 1 + id % 9
+      assert(m.sample_rate == rate && m.n_samples == n)
+      assert(m.duration_us == n * 1000000L / rate)
+      assert(m.sum_abs == n * amp) // |±amp| everywhere — sign bugs surface
+      val signed = (0L until n)
+        .map(s => if ((s / hp) % 2 == 0) amp else -amp).sum
+      assert(m.sum_signed == signed) // byte-order bugs surface here
+    }
+  }
+
+  test("WAV codec rejects non-audio and truncated payloads; decodeAuto routes RIFF to the real decoder") {
+    intercept[Exception](
+      Multimodal.decodeWav(1L, "definitely not a RIFF payload".getBytes("UTF-8")))
+    intercept[Exception](
+      Multimodal.decodeWav(1L, Multimodal.synthesizeWav(1L).take(50)))
+    // decodeAuto: WAV magic → real audio features (rate in slot 0), not stub
+    val feats = Multimodal.decodeAuto(Multimodal.synthesizeWav(5L), 8)
+    assert(feats.length == 8)
+    assert(feats(0) == Array(8000, 16000, 22050)((5L % 3).toInt).toFloat / 48000f)
+    assert(feats(2) > 0f) // mean |amplitude| of a square wave is positive
+    // a RIFF magic with garbage body falls back to the stub, never throws
+    val garbage = "RIFFxxxxWAVEgarbage-not-decodable".getBytes("US-ASCII")
+    assert(Multimodal.decodeAuto(garbage, 8).length == 8)
+  }
+
+  test("distributed batched WAV decode ≡ local decode") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id").repartition(5)
+    val got = Multimodal.decodeWavMeta(spark, Multimodal.wavTable(spark, ids),
+      batchSize = 7).collect()
+      .map(m => m.doc_id -> (m.sample_rate, m.n_samples, m.sum_abs, m.sum_signed))
+      .toMap
+    assert(got.size == 40)
+    for (id <- 0L until 40L) {
+      val l = Multimodal.decodeWav(id, Multimodal.synthesizeWav(id))
+      assert(got(id) == ((l.sample_rate, l.n_samples, l.sum_abs, l.sum_signed)))
     }
   }
 }
