@@ -16,9 +16,14 @@ import org.apache.spark.sql.{Observation, SparkSession}
   *    documents/sec; default 4M rows (the shuffle-heavy LSH job does ~60×
   *    more work per row than the flagship's narrow map).
   *  - `cluster`: pair mining + the full connected-components stage
-  *    (star contraction → min-label fixpoint → singleton rejoin) — the
-  *    iterative workload, whose driver-scheduled rounds put a fixed-cost
+  *    (hierarchical contraction → bounded solve → singleton rejoin) —
+  *    the iterative workload, whose per-level barriers put a fixed-cost
   *    floor under the wall time; default 4M rows.
+  *  - `ccstage`: the clustering stage ALONE — pairs are mined once in
+  *    the generation phase and read back per run, so the timed job is
+  *    exactly pairs → components → labels → rejoin (mining's scaling is
+  *    the dedup workload's evidence); default 4M rows, measured at 16M
+  *    for the headline numbers (BASELINE.md §r5).
   *  - `fluency`: the text-JOIN workload — corpus bigram table
   *    (partial+final count) + bigram-keyed equi-join + per-doc rollup
   *    (CorpusStats.bigramFluency); default 2M rows.
