@@ -388,9 +388,12 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
 
+    // one-pass codegen'd distinct shingle strings (first-occurrence order,
+    // identical to array_distinct over the lambda form — SpanExprSpec)
     val withSets = df.select(
       col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      graft.expressions.ShingleStrings(col(textCol), shingleSize,
+        wholeIfShort = true, distinct = true).as("sh"))
 
     // signature over the DISTINCT shingle set (min is set-semantics anyway;
     // distinct keeps the verify join input and the signature input identical)
@@ -917,7 +920,18 @@ object Dedup {
     * "what a span is" — every span operator (flag, trim, decontaminate,
     * the streaming face) derives from it, so they cannot drift.
     */
-  def spanFps(text: Column, k: Int): Column = {
+  def spanFps(text: Column, k: Int): Column =
+    // one-pass codegen'd builder; null text → empty (the lambda form's
+    // `when` semantics). [[spanFpsSql]] is the differential oracle.
+    coalesce(graft.expressions.Md5SpanFps(text, k),
+      array().cast("array<string>"))
+
+  /** Pure-built-in formulation of [[spanFps]] — kept as the semantics
+    * definition and differential oracle (SpanExprSpec): the lambda
+    * re-evaluates the word split per span (O(words²), interpreted), which
+    * is why the one-pass expression replaced it on the hot path.
+    */
+  def spanFpsSql(text: Column, k: Int): Column = {
     val ws = TextFunctions.words(text)
     when(size(ws) >= k,
       transform(sequence(lit(1), size(ws) - (k - 1)),
@@ -1024,7 +1038,8 @@ object Dedup {
     val r = numHashes / bands
     def sets(df: DataFrame, idAs: String) = df.select(
       col(idCol).as(idAs),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      graft.expressions.ShingleStrings(col(textCol), shingleSize,
+        wholeIfShort = true, distinct = true).as("sh"))
     // same two-step projection as the batch families: the band array
     // references `mh` `bands` times, which stops CollapseProject from
     // inlining (and recomputing) the signature per band

@@ -80,9 +80,14 @@ object Md5MinHashSig {
   private val prefixCache: Array[Array[Byte]] =
     (0 until MaxHashes).map(j => (j.toString + ":").getBytes("UTF-8")).toArray
 
+  // one digest per thread, not per row (MessageDigest.getInstance walks the
+  // provider registry on every call)
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Public so generated code can call it. */
   def compute(shingles: ArrayData, n: Int): GenericArrayData = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = digests.get()
     val mins = new Array[Array[Byte]](n)
     val prefixes = prefixCache // n ≤ MaxHashes enforced at construction
     val scratch = new Array[Byte](16) // digest target, reused across calls
@@ -144,12 +149,15 @@ case class Md5WordHashes(child: Expression) extends UnaryExpression {
 object Md5WordHashes {
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Public so generated code can call it. */
   def compute(text: UTF8String): GenericArrayData = {
     val trimmed = text.trim.toString
     if (trimmed.isEmpty) return new GenericArrayData(Array.emptyLongArray)
     val words = ws.split(trimmed, -1)
-    val md = MessageDigest.getInstance("MD5")
+    val md = digests.get()
     val out = new Array[Long](words.length)
     var i = 0
     while (i < words.length) {

@@ -37,11 +37,11 @@ object CorpusStats {
     */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val ws = TextFunctions.words(col("text"))
-    // guard (size < 2) BEFORE sequence(): Spark's sequence(1, 0) counts
-    // DOWN, it does not produce an empty array
-    val bigrams = when(size(ws) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", slice(ws, i, lit(2)))))
+    // one-pass codegen'd bigram strings (wholeIfShort = false reproduces
+    // the former `when(size(ws) < 2, array())` guard); the lambda form
+    // re-split the text per bigram — O(words²) interpreted
+    val bigrams = graft.expressions.ShingleStrings(col("text"), 2,
+      wholeIfShort = false, distinct = false)
     val tagged = docs
       .where(length(trim(col("text"))) > 0)
       .select(col(idCol),
@@ -116,11 +116,19 @@ object CorpusStats {
       idCol: String = "doc_id"): DataFrame = {
     require(k > 0 && minCount > 0, s"need k > 0 and minCount > 0, got k=$k minCount=$minCount")
     val ws = TextFunctions.words(col("text"))
+    // two-step projection: materialize the word array ONCE per row, then
+    // index into the materialized attribute — `element_at(ws, i)` inside
+    // the lambda would re-run the full split per pair (O(words²),
+    // interpreted). `__ws` is referenced three times below, which stops
+    // CollapseProject from inlining the split back into the lambda.
     val pairs = docs
       .where(length(trim(col("text"))) > 0)
-      .select(explode(when(size(ws) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(transform(sequence(lit(1), size(ws) - 1),
-          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))).as("p"))
+      .select(ws.as("__ws"))
+      .select(explode(when(size(col("__ws")) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("__ws")) - 1),
+          i => struct(element_at(col("__ws"), i).as("w1"),
+            element_at(col("__ws"), i + 1).as("w2"))))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val cXY = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
       .where(col("c_xy") >= minCount)

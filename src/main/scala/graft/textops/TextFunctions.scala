@@ -29,7 +29,7 @@ object TextFunctions {
     */
   val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+    graft.expressions.CountMatches(text, bpeTokenPattern)
 
   /** floor(n/d * 1e6) as long; 0 when d = 0. Bit-stable across engines. */
   def ppm(n: Column, d: Column): Column =
@@ -44,9 +44,11 @@ object TextFunctions {
     val nChars = length(text)
     val ws = words(text)
     val nWords = size(ws)
-    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
-    val nStop = size(regexp_extract_all(lower(text), lit(stopwordPattern), lit(0)))
-    val nUpper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0)))
+    // codegen'd match COUNTS (identical find() loop, no match-array
+    // materialization — the scoring hot path; see CountMatches)
+    val nPunct = graft.expressions.CountMatches(text, "[^A-Za-z0-9\\s]")
+    val nStop = graft.expressions.CountMatches(lower(text), stopwordPattern)
+    val nUpper = graft.expressions.CountMatches(text, "[A-Z]")
     Seq(
       "n_chars" -> nChars.cast("long"),
       "n_words" -> nWords.cast("long"),
@@ -81,7 +83,7 @@ object TextFunctions {
     */
   def langId(text: Column): Column = {
     val hits = langMarkers.map { case (lang, pat) =>
-      lang -> size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+      lang -> graft.expressions.CountMatches(lower(text), pat)
     }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     // fold from the right so earlier-listed languages win ties
@@ -138,8 +140,18 @@ object TextFunctions {
     array_min(transform(sh, s => xxhash64(s)))
   }
 
-  /** n-word shingles; shorter docs collapse to a single whole-text shingle. */
-  def shingles(text: Column, n: Int): Column = {
+  /** n-word shingles; shorter docs collapse to a single whole-text shingle.
+    * One-pass codegen'd expression — the lambda form ([[shinglesSql]], kept
+    * as the differential oracle) re-evaluates the full word split inside
+    * the lambda for every shingle (O(words²) per row, interpreted).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.ShingleStrings(text, n)
+
+  /** Pure-built-in formulation of [[shingles]] — the semantics definition
+    * and differential oracle (SpanExprSpec).
+    */
+  def shinglesSql(text: Column, n: Int): Column = {
     val ws = words(text)
     when(size(ws) < n, array(concat_ws(" ", ws)))
       .otherwise(transform(

@@ -89,12 +89,31 @@ object Vocab {
   def bpeFitEncode(
       docs: DataFrame,
       nMerges: Int,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      driverFitMaxWords: Long = 2000000L): DataFrame = {
     require(nMerges >= 0, s"bpeFitEncode nMerges must be >= 0, got $nMerges")
     val pretok = docs.select(col(idCol),
       posexplode(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)"))
         .as(Seq("word_pos", "word")))
-    var words = pretok.groupBy(col("word")).agg(count(lit(1)).as("__n"))
+    val wordFreq = pretok.groupBy(col("word")).agg(count(lit(1)).as("__n"))
+    // DRIVER-LOCAL FIT (the production shape): the word-frequency table is
+    // vocabulary-sized — the same bounded-materialization bet
+    // Dedup.driverSolveLabels makes — so collect it ONCE (threshold-gated
+    // exactly like a broadcast join: limit(max+1) proves completeness in
+    // the same action) and learn every merge in-process. The former
+    // distributed loop ran 2 Spark actions PER MERGE over the distributed
+    // vocab table — 8 merges was a demo; a production 30-50k-merge fit
+    // would be 60-100k driver-scheduled jobs. Under the threshold the fit
+    // is ONE Spark action total; above it the distributed loop below
+    // remains the fallback.
+    val probe =
+      if (driverFitMaxWords > 0 && driverFitMaxWords < Int.MaxValue)
+        wordFreq.limit(driverFitMaxWords.toInt + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (probe.nonEmpty && probe.length <= driverFitMaxWords)
+      return bpeEncodeFromDriverFit(docs.sparkSession, pretok, idCol,
+        probe.map(r => (r.getString(0), r.getLong(1))), nMerges)
+    var words = wordFreq
       .withColumn("cells", regexp_replace(col("word"), "(.)", ",$1;"))
       .localCheckpoint()
     val symsOf = expr("split(substring(cells, 2, length(cells) - 2), ';,')")
@@ -144,8 +163,139 @@ object Vocab {
         col("piece_id"))
     // the words checkpoint must survive until the returned plan is
     // evaluated; it is vocabulary-sized (the superseded rounds were the
-    // transient cost, and those are already released)
+    // transient cost, and those are already released). Only the
+    // above-threshold fallback pays this; the driver-local path holds no
+    // checkpoints at all.
     out
+  }
+
+  /** Learn all merges in-process over the collected word-frequency table and
+    * return the re-encode plan: ONE `(word → [(piece, piece_id)])` local
+    * relation joined to the pre-token stream (AQE broadcasts it when it
+    * fits). Semantics are bit-identical to the distributed loop — weighted
+    * adjacent-pair counts, (count desc, left asc, right asc) election
+    * (symbols are [a-z0-9]+, so JVM String order IS UTF8String binary
+    * order), greedy left-to-right application with the standard
+    * scan-continues-after-replacement rule — pinned by the differential
+    * test against the local reference and by the driver's value oracle.
+    */
+  private def bpeEncodeFromDriverFit(
+      spark: org.apache.spark.sql.SparkSession,
+      pretok: DataFrame,
+      idCol: String,
+      wordFreq: Array[(String, Long)],
+      nMerges: Int): DataFrame = {
+    val n = wordFreq.length
+    val syms = new Array[Array[String]](n)
+    var wi = 0
+    while (wi < n) {
+      val w = wordFreq(wi)._1
+      val a = new Array[String](w.length)
+      var c = 0
+      while (c < w.length) { a(c) = String.valueOf(w.charAt(c)); c += 1 }
+      syms(wi) = a
+      wi += 1
+    }
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      // weighted adjacent-pair counts (every index position counts, same as
+      // the distributed transform over sequence(1, size-1))
+      val cnt = new java.util.HashMap[String, Long]() // "l r" -> count
+      wi = 0
+      while (wi < n) {
+        val s = syms(wi)
+        val f = wordFreq(wi)._2
+        var i = 0
+        while (i < s.length - 1) {
+          val k = s(i) + " " + s(i + 1)
+          cnt.put(k, cnt.getOrDefault(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var bestL: String = null
+        var bestR: String = null
+        var bestC = Long.MinValue
+        val it = cnt.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val sep = e.getKey.indexOf(' ')
+          val l = e.getKey.substring(0, sep)
+          val r = e.getKey.substring(sep + 1)
+          val c = e.getValue
+          // (count desc, l asc, r asc) — ASCII symbols, String order is exact
+          if (c > bestC || (c == bestC &&
+            (l.compareTo(bestL) < 0 ||
+              (l == bestL && r.compareTo(bestR) < 0)))) {
+            bestL = l; bestR = r; bestC = c
+          }
+        }
+        val merged = bestL + bestR
+        wi = 0
+        while (wi < n) {
+          val s = syms(wi)
+          if (s.length >= 2) {
+            // greedy left-to-right, non-overlapping, scan continues AFTER a
+            // replacement (the `replace` semantics of the cell encoding)
+            var hit = false
+            var i = 0
+            while (!hit && i < s.length - 1) {
+              hit = s(i) == bestL && s(i + 1) == bestR
+              i += 1
+            }
+            if (hit) {
+              val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+              i = 0
+              while (i < s.length) {
+                if (i + 1 < s.length && s(i) == bestL && s(i + 1) == bestR) {
+                  out += merged; i += 2
+                } else { out += s(i); i += 1 }
+              }
+              syms(wi) = out.toArray
+            }
+          }
+          wi += 1
+        }
+      }
+      round += 1
+    }
+    // piece inventory: distinct pieces, ids dense in lexicographic order
+    // (ASCII-only symbols: JVM sort == UTF8String binary order)
+    val pieceId = new java.util.HashMap[String, Long]()
+    val distinct = {
+      val set = new java.util.TreeSet[String]()
+      syms.foreach(_.foreach(set.add))
+      set
+    }
+    var id = 0L
+    distinct.forEach { p => pieceId.put(p, id); id += 1 }
+    val rows: java.util.List[org.apache.spark.sql.Row] = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+      wi = 0
+      while (wi < n) {
+        l.add(org.apache.spark.sql.Row(
+          wordFreq(wi)._1,
+          syms(wi).toSeq.map(p => org.apache.spark.sql.Row(p, pieceId.get(p)))))
+        wi += 1
+      }
+      l
+    }
+    import org.apache.spark.sql.types._
+    val piecesDf = spark.createDataFrame(rows, StructType(Seq(
+      StructField("word", StringType),
+      StructField("__pieces", ArrayType(StructType(Seq(
+        StructField("piece", StringType),
+        StructField("piece_id", LongType))))))))
+    pretok
+      .join(piecesDf, "word")
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(col("__pieces")).as(Seq("piece_pos", "__p")))
+      .select(col(idCol), col("word_pos"),
+        col("piece_pos").cast("long").as("piece_pos"),
+        col("__p.piece").as("piece"), col("__p.piece_id").as("piece_id"))
   }
 
   /** Unpersist the block-manager blocks behind a localCheckpoint'ed frame
