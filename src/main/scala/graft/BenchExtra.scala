@@ -27,6 +27,7 @@ object BenchExtra {
     var explainDir: Option[String] = None
     var suffix = ""
     var reps = 3
+    var useCount = false // Bench's methodology (count) instead of noop
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -34,6 +35,7 @@ object BenchExtra {
         case "-explain" => explainDir = Some(args(i + 1)); i += 2
         case "-suffix" => suffix = args(i + 1); i += 2
         case "-reps" => reps = args(i + 1).toInt; i += 2
+        case "-count" => useCount = true; i += 1
         case "all" => names ++= SparkEntry.queries.keys.toSeq.sorted; i += 1
         case "hot" => names ++= hotSet; i += 1
         case n => names += n; i += 1
@@ -70,7 +72,9 @@ object BenchExtra {
           txt.getBytes("UTF-8"))
       }
       spark.sparkContext.setJobDescription(name)
-      val (t, err) = Bench.measure(reps)(() => noop(fn(spark, sfDir)))
+      val (t, err) =
+        if (useCount) Bench.measure(reps)(() => { fn(spark, sfDir).count(); () })
+        else Bench.measure(reps)(() => noop(fn(spark, sfDir)))
       spark.sparkContext.setJobDescription(null)
       err.foreach(e => println(s"ERROR $name: $e"))
       out(name) = t

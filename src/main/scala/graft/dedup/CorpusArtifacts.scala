@@ -73,13 +73,18 @@ object CorpusArtifacts {
       newDocs: DataFrame,
       fpTable: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    newDocs.withColumn("__fp", Dedup.fpKey(textCol))
-      .join(fpTable, col("__fp") === col("text_fp"), "left")
+      textCol: String = "text"): DataFrame = {
+    // freshName hardening (r5 ADVICE): an increment frame already carrying
+    // __fp must not be clobbered. (fpTable's text_fp/corpus_keeper names
+    // are the artifact's documented fixed schema.)
+    val fpC = Dedup.freshName(newDocs, "__fp")
+    newDocs.withColumn(fpC, Dedup.fpKey(textCol))
+      .join(fpTable, col(fpC) === col("text_fp"), "left")
       .withColumn("in_corpus", col("corpus_keeper").isNotNull)
       .withColumn("corpus_keeper", coalesce(col("corpus_keeper"),
         lit(-1L).cast(newDocs.schema(idCol).dataType)))
-      .drop("__fp", "text_fp")
+      .drop(fpC, "text_fp")
+  }
 
   /** Write the sealed corpus's near-dup artifacts (production xxhash64
     * family, parameters from `spec`):
@@ -197,13 +202,34 @@ object CorpusArtifacts {
         java.nio.charset.StandardCharsets.UTF_8) == expected
     if (!hit) {
       val mined = mine()
-      mined.write.mode("overwrite").parquet(dir.toString)
+      // ATOMIC PUBLICATION (r5 ADVICE): write data + manifest into a
+      // private temp dir, then rename into place — a killed write leaves
+      // only an unpublished temp dir, and two concurrent miners race on the
+      // rename (the loser discards its copy and reads the winner's) instead
+      // of interleaving writes into the shared path.
+      val tmp = dir.resolveSibling(
+        dir.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID())
+      mined.write.mode("overwrite").parquet(tmp.toString)
       Dedup.releaseClusters(mined)
-      // manifest written AFTER the data (with _SUCCESS) — a killed write
-      // leaves no manifest, so the next run re-mines instead of reading a
-      // torn table
-      java.nio.file.Files.write(manifest,
+      java.nio.file.Files.write(tmp.resolve("_graft_manifest.json"),
         expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      def deleteRecursively(p: java.nio.file.Path): Unit = {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        finally s.close()
+      }
+      try {
+        if (java.nio.file.Files.exists(dir)) deleteRecursively(dir) // stale key
+        java.nio.file.Files.move(tmp, dir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException |
+            _: java.nio.file.AccessDeniedException =>
+          // a concurrent run published first — use its copy
+          try deleteRecursively(tmp) catch { case _: Exception => }
+      }
     }
     spark.read.parquet(dir.toString)
   }

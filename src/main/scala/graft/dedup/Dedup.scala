@@ -44,7 +44,7 @@ object Dedup {
     * ambiguous. (Output columns `keeper_id` / `is_dup` stay fixed — they
     * are the documented contract, not internals.)
     */
-  private def freshName(df: DataFrame, base: String): String = {
+  private[dedup] def freshName(df: DataFrame, base: String): String = {
     var n = base
     while (df.columns.contains(n)) n += "_"
     n
@@ -328,10 +328,14 @@ object Dedup {
             x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+      // verify BEFORE the dedup shuffle: a pair's signatures are fixed, so
+      // hamming-filter-then-distinct ≡ distinct-then-filter, but the
+      // exchange now carries (id_a, id_b, hamming) survivors instead of
+      // every candidate with two 64-char signatures (guide §2.3)
       .withColumn("hamming", hammingBits(col("sig_a"), col("sig_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, Hamming-distance
@@ -697,8 +701,12 @@ object Dedup {
     // those tasks across more cores, which is the scalable axis.
     def dataSizedParts(n: Long): Int =
       math.max(1, math.ceil(n.toDouble / edgesPerTask).toInt)
+    // level 0 is the UNSYMMETRIZED pair set — size its partitions by the
+    // actual row count (nEdges0 is the symmetrized 2× figure used for the
+    // shrink bookkeeping); over-partitioning splits components and every
+    // split becomes a glue edge, slowing contraction
     var edges: DataFrame = p.select(col("id_a").as("s"), col("id_b").as("t"))
-      .repartition(dataSizedParts(nEdges0), col("s"))
+      .repartition(dataSizedParts(nEdges0 / 2), col("s"))
     var edgesCk: DataFrame = null // checkpoint behind `edges` at levels ≥ 1
     var nE = nEdges0
     val mappings = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -995,14 +1003,18 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val fp = fpKey(textCol)
-    val seen = corpus.select(fp.as("__cfp"), col(idCol).as("corpus_keeper"))
-      .groupBy("__cfp").agg(min("corpus_keeper").as("corpus_keeper"))
-    newDocs.withColumn("__fp", fp)
-      .join(seen, col("__fp") === col("__cfp"), "left")
+    // freshName hardening (r5 VERDICT #8): an input frame already carrying
+    // __fp/__cfp must not be clobbered or make the join ambiguous
+    val fpC = freshName(newDocs, "__fp")
+    val cfpC = freshName(newDocs, "__cfp")
+    val seen = corpus.select(fp.as(cfpC), col(idCol).as("corpus_keeper"))
+      .groupBy(cfpC).agg(min("corpus_keeper").as("corpus_keeper"))
+    newDocs.withColumn(fpC, fp)
+      .join(seen, col(fpC) === col(cfpC), "left")
       .withColumn("in_corpus", col("corpus_keeper").isNotNull)
       .withColumn("corpus_keeper", coalesce(col("corpus_keeper"),
         lit(-1L).cast(newDocs.schema(idCol).dataType))) // sentinel in id's type
-      .drop("__fp", "__cfp")
+      .drop(fpC, cfpC)
   }
 
   /** INCREMENTAL near-dup: LSH-probe a NEW batch against the sealed

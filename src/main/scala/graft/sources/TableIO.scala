@@ -62,11 +62,19 @@ private[sources] object FileTreeFingerprint {
         s.iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(suffix) &&
             !p.getFileName.toString.startsWith("."))
-          .map(p => root.relativize(p).toString -> p.toFile.length())
+          .map { p =>
+            val f = p.toFile
+            // mtime folded in (r5 ADVICE): a corpus rewritten in place with
+            // identical names/sizes must not fingerprint identically —
+            // artifact caches keyed on this id would silently serve stale
+            // derived tables
+            root.relativize(p).toString -> (f.length(), f.lastModified())
+          }
           .toVector.sorted
       } finally s.close()
     }
-    val canonical = files.map { case (p, len) => s"$p:$len" }.mkString("|")
+    val canonical =
+      files.map { case (p, (len, mt)) => s"$p:$len:$mt" }.mkString("|")
     java.lang.Long.toHexString(graft.expressions.FnvHash64.hash(
       canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }

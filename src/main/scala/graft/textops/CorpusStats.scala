@@ -190,7 +190,28 @@ object CorpusStats {
       .select(col(valueCol).as("__rank_v"),
         when(col("__total") > 1,
           expr("__below * 1000000L div (__total - 1)")).otherwise(lit(0L)).as(outCol))
-    df.join(ranks, col(valueCol) <=> col("__rank_v")).drop("__rank_v")
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType =>
+        // sentinel-keyed plain equi-join (the fpKey pattern): nulls map to a
+        // reserved Long bucket so the broadcast probe keeps the primitive-
+        // long fast path the `<=>` formulation forfeits (Spark rewrites
+        // null-safe keys as a 2-key coalesce+isnull join). A REAL
+        // Long.MinValue value would merge with the null bucket — the same
+        // documented bet fpKey makes; integral score/count domains don't
+        // carry it.
+        def k(c: org.apache.spark.sql.Column) =
+          coalesce(c.cast("long"), lit(Long.MinValue))
+        df.join(ranks.withColumn("__rank_k", k(col("__rank_v"))),
+          k(col(valueCol)) === col("__rank_k"))
+          .drop("__rank_v", "__rank_k")
+      case _ =>
+        // non-integral value domains keep the null-safe join (no sentinel
+        // can be reserved safely)
+        df.join(ranks, col(valueCol) <=> col("__rank_v")).drop("__rank_v")
+    }
   }
 
   /** Bounded inverted-index postings: per term, the document frequency
