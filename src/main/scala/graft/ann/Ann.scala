@@ -118,6 +118,15 @@ object Ann {
     * @return input frame with `qvecCol` (array<long> in [-127,127]) added.
     */
   def quantizeInt8(df: DataFrame, vecCol: String, qvecCol: String): DataFrame =
+    // one-pass codegen'd expression; [[quantizeInt8Sql]] is the semantics
+    // definition and differential oracle (SpanExprSpec)
+    df.withColumn(qvecCol, graft.expressions.QuantizeInt8Expr(col(vecCol)))
+
+  /** Pure-built-in formulation of [[quantizeInt8]] (differential oracle).
+    * The per-row scale is computed in its own projection (NOT inlined into
+    * the element lambda — the max would re-evaluate per element).
+    */
+  def quantizeInt8Sql(df: DataFrame, vecCol: String, qvecCol: String): DataFrame =
     df
       .withColumn("__qs",
         array_max(transform(col(vecCol), x => abs(x.cast("double")))))

@@ -124,3 +124,73 @@ object WordHashes {
   def apply(text: Column): Column =
     ColumnBridge.column(WordHashes(ColumnBridge.expression(text)))
 }
+
+/** Fused symmetric int8 quantization — the codegen'd replacement for the
+  * three-projection lambda chain in `Ann.quantizeInt8` (scale = max|x|,
+  * element -> round(127·x/scale) as long, all-zero vectors stay all-zero).
+  * The lambda form runs two interpreted `transform`s per row (plus an
+  * `array_max(transform(abs))` pass); this is ONE pass over the raw
+  * elements. Rounding replicates Spark's `round` on doubles exactly
+  * (BigDecimal.valueOf + HALF_UP), pinned by the SpanExprSpec differential
+  * against the SQL formulation.
+  */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_int8"
+
+  @transient private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantizeInt8Expr.compute(input.asInstanceOf[ArrayData], elemType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("qElemType", elemType,
+      "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.QuantizeInt8Expr.compute($c, $et)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeInt8Expr {
+  private def elemAsDouble(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType => arr.getFloat(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case _ => throw new IllegalArgumentException(s"unsupported element type $t")
+  }
+
+  /** Public so generated code can call it. */
+  def compute(arr: ArrayData, elemType: DataType): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    if (n == 0) return new GenericArrayData(out)
+    var qs = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val a = math.abs(elemAsDouble(arr, i, elemType))
+      if (a > qs) qs = a
+      i += 1
+    }
+    if (qs == 0.0) return new GenericArrayData(out) // all-zero stays all-zero
+    i = 0
+    while (i < n) {
+      val v = 127.0 * elemAsDouble(arr, i, elemType) / qs
+      // Spark `round` on double: BigDecimal.valueOf + HALF_UP, then the
+      // long cast truncates (values are already integral after setScale)
+      out(i) =
+        if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v.toLong
+        else java.math.BigDecimal.valueOf(v)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(vec: Column): Column =
+    ColumnBridge.column(QuantizeInt8Expr(ColumnBridge.expression(vec)))
+}

@@ -60,9 +60,16 @@ object TextFunctions {
 
   /** Composite quality score in [0, 100]: long docs with sane punctuation
     * and some stopwords score high — the usual web-corpus heuristic, with
-    * integer-only arithmetic.
+    * integer-only arithmetic. One fused codegen'd pass
+    * ([[graft.expressions.QualityScoreExpr]]); [[qualityScoreSql]] is the
+    * semantics definition and differential oracle. Null text maps to the
+    * SQL chain's outcome (least/greatest skip nulls → 40+30+30-30 = 70).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    coalesce(graft.expressions.QualityScoreExpr(text), lit(70L))
+
+  /** Pure-built-in formulation of [[qualityScore]] (differential oracle). */
+  def qualityScoreSql(text: Column): Column = {
     val m = qualityMetrics(text).toMap
     def idiv(c: Column, d: Long): Column = floor(c / d).cast("long") // int division (c ≥ 0)
     val lenScore = least(m("n_words"), lit(40L)) // up to 40 pts for length
@@ -80,8 +87,15 @@ object TextFunctions {
 
   /** Heuristic language ID: CJK codepoints → zh; else argmax marker hits
     * with first-listed language winning ties; no hits at all → "und".
+    * One fused codegen'd pass ([[graft.expressions.LangIdExpr]]);
+    * [[langIdSql]] is the differential oracle. Null text → "und" (the SQL
+    * fold's terminal), applied at the Column level.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    coalesce(graft.expressions.LangIdExpr(text), lit("und"))
+
+  /** Pure-built-in formulation of [[langId]] (differential oracle). */
+  def langIdSql(text: Column): Column = {
     val hits = langMarkers.map { case (lang, pat) =>
       lang -> graft.expressions.CountMatches(lower(text), pat)
     }

@@ -103,6 +103,48 @@ class SpanExprSpec extends AnyFunSuite {
     }
   }
 
+  test("fused QualityScoreExpr / LangIdExpr ≡ SQL formulations") {
+    val rich = df.union(Seq(
+      (100L, "The, quick! BROWN fox? of the and a 42 to in is or"),
+      (101L, "der die das und ist nicht mit der die"),
+      (102L, "le la les et est pas avec le la"),
+      (103L, "el los las es y no con el"),
+      (104L, "汉字 mixed with the english text"),
+      (105L, "the der le el"), // marker tie — first-listed must win
+      (106L, "!!!! ???? ;;;; %%%%"), // punct-heavy
+      (107L, (1 to 60).map(_ => "the").mkString(" ")) // stopword-saturated
+    ).toDF("doc_id", "text"))
+    val rows = rich.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("qf"),
+      TextFunctions.qualityScoreSql(col("text")).as("qs"),
+      TextFunctions.langId(col("text")).as("lf"),
+      TextFunctions.langIdSql(col("text")).as("ls")).collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2), s"quality doc=${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}")
+      assert(r.get(3) == r.get(4), s"lang doc=${r.getLong(0)}: ${r.get(3)} vs ${r.get(4)}")
+    }
+  }
+
+  test("QuantizeInt8Expr ≡ lambda quantization on random float vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map { i =>
+      val v: Seq[Float] =
+        if (i == 0) Seq.fill(8)(0.0f) // all-zero vector
+        else if (i == 1) Seq.empty[Float]
+        else Seq.fill(16)((rnd.nextFloat() - 0.5f) * math.pow(10,
+          rnd.nextInt(6) - 3).toFloat)
+      (i.toLong, v)
+    }
+    val vdf = vecs.toDF("vec_id", "embedding")
+    val fast = graft.ann.Ann.quantizeInt8(vdf, "embedding", "qv")
+      .select("vec_id", "qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ref = graft.ann.Ann.quantizeInt8Sql(vdf, "embedding", "qv")
+      .select("vec_id", "qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast == ref)
+  }
+
   test("driver-local BPE fit ≡ distributed merge loop (and ≤2 fit actions)") {
     val docs = Seq(
       (1L, "low lower lowest Low, LOW!"),
