@@ -231,14 +231,18 @@ object ScalingBenchLevel {
         // phase mines them once): hierarchical contraction → bounded
         // solve → back-prop → singleton rejoin; throughput = input
         // docs/sec. Driver-solve shortcut disabled, same rationale as
-        // `cluster`.
+        // `cluster`. GRAFT_CC_EDGES_PER_TASK overrides the contraction
+        // memory budget (the operator's documented executor-heap knob) for
+        // decomposition experiments; default = the operator default.
         val inputRows = df.count()
+        val edgesPerTask = sys.env.getOrElse("GRAFT_CC_EDGES_PER_TASK",
+          "500000").toLong
         val pairs = spark.read.parquet(s"${inputPath}_pairs")
         pairs.count() // warm page cache outside the timed section
         () => {
           val t0 = System.nanoTime()
           val clusters = graft.dedup.Dedup.nearDupClusters(df, pairs,
-            driverSolveMaxEdges = 0L)
+            driverSolveMaxEdges = 0L, edgesPerTask = edgesPerTask)
           clusters.count()
           val sec = (System.nanoTime() - t0) / 1e9
           graft.dedup.Dedup.releaseClusters(clusters)

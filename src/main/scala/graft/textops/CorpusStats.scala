@@ -90,6 +90,31 @@ object CorpusStats {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // bounded per-doc heap aggregate instead of a ranking window: the
+    // window shuffles AND SORTS every (doc, term) row; the
+    // TypedImperativeAggregate ships ≤ k entries per (doc, map partition)
+    // and sorts only its k-element heap — bit-identical results (total
+    // order; differential vs the window form in SpanExprSpec)
+    tf.join(dfreq, "term")
+      .groupBy(col(idCol))
+      .agg(graft.expressions.TopKTermsAgg(
+        col("tf"), col("df"), col("term"), k).as("__top"))
+      .select(col(idCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(idCol), (col("__pos") + 1).cast("long").as("rk"),
+        col("__t.term").as("term"), col("__t.tf").as("tf"),
+        col("__t.df").as("df"))
+  }
+
+  /** Window formulation of [[salientTerms]] — the semantics definition and
+    * differential oracle (row_number over the same total order).
+    */
+  def salientTermsWindow(docs: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"salientTerms k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.words(col("text"))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val rank = Window.partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
     tf.join(dfreq, "term")

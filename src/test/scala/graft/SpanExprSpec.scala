@@ -145,6 +145,22 @@ class SpanExprSpec extends AnyFunSuite {
     assert(fast == ref)
   }
 
+  test("salientTerms heap aggregate ≡ window formulation") {
+    import graft.textops.CorpusStats
+    val rich = df.union(Seq(
+      (200L, "tie tie tie alpha alpha beta beta gamma gamma"), // tf/df ties
+      (201L, "alpha beta gamma delta epsilon zeta"), // all tf=1 — term order
+      (202L, "zz zz yy yy xx xx ww ww")
+    ).toDF("doc_id", "text"))
+    for (k <- Seq(1, 3, 5)) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+      val fast = CorpusStats.salientTerms(rich, k).collect().map(key).toSet
+      val ref = CorpusStats.salientTermsWindow(rich, k).collect().map(key).toSet
+      assert(fast == ref, s"k=$k")
+    }
+  }
+
   test("driver-local BPE fit ≡ distributed merge loop (and ≤2 fit actions)") {
     val docs = Seq(
       (1L, "low lower lowest Low, LOW!"),
