@@ -195,9 +195,10 @@ object Dedup {
       .groupBy(keyCol)
       .agg(graft.expressions.CappedCollectList(col(idCol), maxBucket + 1).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("ids"), x =>
-        transform(filter(col("ids"), y => y > x),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      // one-pass codegen'd pair expansion — the nested-lambda form ran
+      // O(bucket²) interpreted filter closures per bucket (identical pair
+      // set and order; differential in SpanExprSpec)
+      .select(explode(graft.expressions.UnorderedPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
 
   /** Join candidate pairs back to their (heavy) shingle sets and keep the
@@ -321,11 +322,9 @@ object Dedup {
       .groupBy("band_key")
       .agg(graft.expressions.CappedCollectList(col("ds"), maxBucket + 1).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("ds"), x =>
-        transform(filter(col("ds"), y => y.getField("id") > x.getField("id")),
-          y => struct(
-            x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))).as("p"))
+      // one-pass codegen'd (id, sig) pair expansion — same rationale and
+      // differential as cappedPairExpansion's
+      .select(explode(graft.expressions.UnorderedPairs(col("ds"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
       // verify BEFORE the dedup shuffle: a pair's signatures are fixed, so
@@ -645,6 +644,57 @@ object Dedup {
       }, schema)
   }
 
+  /** Per-node rollup of the contraction mapping — (node, canonical rep =
+    * min, full rep set) — as a partition-local HASH aggregation after one
+    * hash-by-node exchange. The former
+    * `groupBy(node).agg(min(rep), collect_set(rep))` ran through
+    * ObjectHashAggregateExec, which falls back to SORT-BASED aggregation
+    * past `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128 keys) — so every contraction level paid an external
+    * sort of the full mapping (measured 28 s/level at 64M docs,
+    * local[16]). Here the same exchange feeds a mapPartitions hash map:
+    * no sort, and per-task memory is bounded by the data-sized partition
+    * count (each node's rep set is ≤ the number of edge partitions that
+    * saw it — a handful). mapPartitions is warranted for the same reason
+    * as [[contractMapping]]: Catalyst offers no sort-free object
+    * aggregation at this cardinality.
+    */
+  private def aggregateMapping(mapping: DataFrame, parts: Int): DataFrame = {
+    val idType = mapping.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", idType),
+      org.apache.spark.sql.types.StructField("rep", idType),
+      org.apache.spark.sql.types.StructField("__reps",
+        org.apache.spark.sql.types.ArrayType(idType, containsNull = false))))
+    mapping.sparkSession.createDataFrame(
+      mapping.repartition(parts, col("node")).rdd.mapPartitions { it =>
+        val m = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+        it.foreach { row =>
+          val n = row.get(0)
+          val r = row.get(1)
+          var l = m.get(n)
+          if (l == null) {
+            l = new java.util.ArrayList[Any](2)
+            m.put(n, l)
+          }
+          // set semantics; a node's reps are ≤ partitions-touched (tiny),
+          // so the linear contains is cheaper than any set structure
+          if (!l.contains(r)) { l.add(r); () }
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map { e =>
+          val reps = e.getValue
+          var minRep = reps.get(0)
+          var i = 1
+          while (i < reps.size) {
+            if (sparkLt(reps.get(i), minRep)) minRep = reps.get(i)
+            i += 1
+          }
+          org.apache.spark.sql.Row(e.getKey, minRep, reps.asScala.toSeq)
+        }
+      }, schema)
+  }
+
   private def emptyLabels(
       spark: org.apache.spark.sql.SparkSession,
       idType: org.apache.spark.sql.types.DataType): DataFrame =
@@ -711,22 +761,24 @@ object Dedup {
     var nE = nEdges0
     val mappings = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var top: DataFrame = null
+    var topKnownEmpty = false
     var level = 0
     while (top == null) {
       val t0 = System.nanoTime()
-      // ONE aggregate per level carries everything the level needs: the
+      // ONE rollup per level carries everything the level needs: the
       // canonical rep (min over the node's per-partition reps — the
-      // back-prop mapping) AND the full rep set (collect_set, bounded by
+      // back-prop mapping) AND the full rep set (bounded by
       // partitions-touched ≤ partition count, NOT by degree), from which
       // the glue edges project without any join. Both row counts ride the
-      // same checkpoint action as observe metrics. Folding the former
+      // same checkpoint action as observe metrics. r5 folded the former
       // separate mapping-checkpoint + canonicalize-checkpoint + glue-JOIN
-      // into this single aggregate removed one barrier and a
-      // corpus-of-nodes-sized shuffle join per level.
+      // into one aggregate (one barrier and a nodes-sized shuffle join
+      // saved per level); r6 replaced that aggregate's collect_set —
+      // which ObjectHashAggregateExec turns into a SORT-BASED aggregation
+      // past 128 keys — with the sort-free hash rollup in
+      // [[aggregateMapping]].
       val aObs = org.apache.spark.sql.Observation()
-      val agg = contractMapping(edges)
-        .groupBy(col("node"))
-        .agg(min(col("rep")).as("rep"), collect_set(col("rep")).as("__reps"))
+      val agg = aggregateMapping(contractMapping(edges), dataSizedParts(nE))
         .observe(aObs,
           coalesce(count(lit(1)), lit(0L)).as("nodes"),
           coalesce(sum(size(col("__reps")).cast("long")), lit(0L)).as("pairs"))
@@ -751,7 +803,7 @@ object Dedup {
         // back-propagation fallback (each node's rep — its set minimum —
         // which for a fully-contracted component is the global minimum).
         mappings += agg.select(col("node"), col("rep"))
-        top = emptyLabels(spark, idType)
+        top = emptyLabels(spark, idType); topKnownEmpty = true
         if (debug) println(f"CC_LEVEL $level%d nodes=$nNodes%d " +
           f"pairs=$nPairs%d next=0(arith) ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } else {
@@ -786,7 +838,7 @@ object Dedup {
           // the back-propagation fallback (rep itself — the global min,
           // see the invariant in the scaladoc)
           releaseLocalCheckpoint(nextCk)
-          top = emptyLabels(spark, idType)
+          top = emptyLabels(spark, idType); topKnownEmpty = true
         } else if (nNext <= math.min(edgesPerTask, finalBudget)) {
           // deduped glue already fits the driver: solve it directly —
           // contracting it first would buy one more level of barriers to
@@ -819,14 +871,24 @@ object Dedup {
     // back-propagate: a level-i node's label is its canonical rep's label
     // one level up, falling back to the rep itself — a rep with no label
     // above is a component that fully contracted, and a fully-contracted
-    // component's shared rep IS its global minimum (scaladoc invariant)
+    // component's shared rep IS its global minimum (scaladoc invariant).
+    // The top frame is KNOWN-empty on the fully-contracted exits (the
+    // common case): the first reverse step then joins the biggest mapping
+    // against an empty frame just to coalesce nulls to rep — skip the
+    // join and project rep directly (measured: one full shuffle join of
+    // the level-0 mapping saved at 64M docs).
     var labels = top
+    var labelsKnownEmpty = topKnownEmpty
     mappings.reverseIterator.foreach { m =>
-      labels = m
-        .join(labels.select(col("id").as("__rid"), col("cluster_id")),
-          col("rep") === col("__rid"), "left")
-        .select(col("node").as("id"),
-          coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+      labels =
+        if (labelsKnownEmpty)
+          m.select(col("node").as("id"), col("rep").as("cluster_id"))
+        else m
+          .join(labels.select(col("id").as("__rid"), col("cluster_id")),
+            col("rep") === col("__rid"), "left")
+          .select(col("node").as("id"),
+            coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+      labelsKnownEmpty = false
     }
     if (mappings.isEmpty) top
     else {

@@ -161,6 +161,45 @@ class SpanExprSpec extends AnyFunSuite {
     }
   }
 
+  test("UnorderedPairs ≡ nested-lambda expansion (atomic and struct elements)") {
+    val rnd = new scala.util.Random(11)
+    val idArrays = (0 until 60).map { i =>
+      val n = rnd.nextInt(8)
+      (i.toLong, (0 until n).map(_ => rnd.nextInt(6).toLong))
+    }
+    val adf = idArrays.toDF("row_id", "ids")
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getLong(1))))).toSeq
+    val fastA = norm(adf.select(col("row_id"),
+      graft.expressions.UnorderedPairs(col("ids")).as("p")).collect())
+    val refA = norm(adf.select(col("row_id"),
+      flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b"))))).as("p")).collect())
+    assert(fastA == refA) // pair set AND order
+
+    val sdf = idArrays.map { case (i, ids) =>
+      (i, ids.map(id => (id, s"sig$id-$i")))
+    }.toDF("row_id", "ds")
+      .select(col("row_id"), expr(
+        "transform(ds, e -> struct(e._1 AS id, e._2 AS sig))").as("ds"))
+    def norms(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getLong(1), p.getString(2), p.getString(3)))))
+        .toSeq
+    val fastS = norms(sdf.select(col("row_id"),
+      graft.expressions.UnorderedPairs(col("ds")).as("p")).collect())
+    val refS = norms(sdf.select(col("row_id"),
+      flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y.getField("id") > x.getField("id")),
+          y => struct(
+            x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))
+        .as("p")).collect())
+    assert(fastS == refS)
+  }
+
   test("driver-local BPE fit ≡ distributed merge loop (and ≤2 fit actions)") {
     val docs = Seq(
       (1L, "low lower lowest Low, LOW!"),
