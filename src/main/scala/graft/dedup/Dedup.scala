@@ -201,18 +201,30 @@ object Dedup {
       .select(explode(graft.expressions.UnorderedPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
 
-  /** Join candidate pairs back to their (heavy) shingle sets and keep the
-    * exact-Jaccard survivors — the verification stage shared by both
-    * MinHash families.
+  /** Join candidate pairs back to their docs' TEXT and verify exact
+    * Jaccard on sets built per candidate row — the verification stage
+    * shared by both MinHash families. The set expression used to sit on
+    * the join INPUT sides (`withSets` projections below the joins), which
+    * evaluated it for every corpus row twice more (once per side) and
+    * made the broadcast/shuffled verify side carry materialized sets;
+    * after LSH the candidate pair set is orders of magnitude smaller than
+    * the corpus, so computing sets AFTER the attach (guide §8: decide
+    * with small rows, attach the payload once) does candidate-only work
+    * and the verify side carries raw text. Row-for-row identical output:
+    * only the evaluation site of a deterministic expression moves.
     */
   private def verifyJaccard(
-      pairs: DataFrame, withSets: DataFrame, thresholdPpm: Long): DataFrame =
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      setOf: Column => Column, thresholdPpm: Long): DataFrame = {
+    val ta = freshName(pairs, "__vtxt_a")
+    val tb = freshName(pairs, "__vtxt_b")
     pairs
-      .join(withSets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-      .join(withSets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard_ppm", jaccardPpm(col("sh_a"), col("sh_b")))
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as(ta)), Seq("id_a"))
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as(tb)), Seq("id_b"))
+      .withColumn("jaccard_ppm", jaccardPpm(setOf(col(ta)), setOf(col(tb))))
       .filter(col("jaccard_ppm") >= thresholdPpm)
       .select("id_a", "id_b", "jaccard_ppm")
+  }
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -236,11 +248,11 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
 
-    // distinct shingle-hash set per doc (also the exact-verify input) —
-    // computed three times per doc (signature + both verify-join sides), so
-    // it uses the one-pass codegen'd ShingleHashes expression rather than
-    // the interpreted shingle→hash→distinct lambda chain (differential-
-    // tested equal in SketchExprSpec)
+    // distinct shingle-hash set per doc (also the exact-verify set) — the
+    // one-pass codegen'd ShingleHashes expression rather than the
+    // interpreted shingle→hash→distinct lambda chain (differential-tested
+    // equal in SketchExprSpec); evaluated once per doc here plus once per
+    // candidate SIDE in the verify (see [[verifyJaccard]])
     val withSets = df.select(
       col(idCol).as("id"),
       graft.expressions.ShingleHashes(col(textCol), shingleSize).as("sh"))
@@ -257,7 +269,8 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         xxhash64(slice(col("mh"), b * r + 1, r), lit(b))): _*)).as("band_key"))
 
-    verifyJaccard(bandedPairs(banded, maxBucket), withSets, thresholdPpm)
+    verifyJaccard(bandedPairs(banded, maxBucket), df, idCol, textCol,
+      t => graft.expressions.ShingleHashes(t, shingleSize), thresholdPpm)
   }
 
   /** Exact Jaccard (ppm) of two arrays (distinct-set semantics). Production
@@ -407,7 +420,10 @@ object Dedup {
         concat(lit(s"$b:"), concat_ws("|", slice(col("mh"), b * r + 1, r)))): _*))
         .as("band_key"))
 
-    verifyJaccard(bandedPairs(banded, maxBucket), withSets, thresholdPpm)
+    verifyJaccard(bandedPairs(banded, maxBucket), df, idCol, textCol,
+      t => graft.expressions.ShingleStrings(t, shingleSize,
+        wholeIfShort = true, distinct = true),
+      thresholdPpm)
   }
 
   /** [[simHashBits]] under the md5 hash family: word hash = first 8 bytes of

@@ -155,6 +155,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash verify joins attach text; sets are never built below a join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val frames = Seq(
+      "portable" -> graft.dedup.Dedup.minHashLshPairsPortable(docs),
+      "fast" -> graft.dedup.Dedup.minHashLshPairs(docs))
+    frames.foreach { case (name, df) =>
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, s"$name: expected verify joins in the plan")
+      // a shingle-set expression in a join's input projection means the
+      // set materializes for EVERY corpus row on that side (and rides the
+      // verify exchange/broadcast); sets must be built after the
+      // candidate attach, where only LSH-candidate rows pay
+      joins.foreach { j =>
+        j.children.foreach {
+          case p: Project =>
+            val bad = p.projectList.exists(_.exists {
+              case _: graft.expressions.ShingleStrings => true
+              case _: graft.expressions.ShingleHashes => true
+              case _ => false
+            })
+            assert(!bad, s"$name: a verify join input materializes " +
+              s"shingle sets corpus-wide:\n${df.queryExecution.optimizedPlan}")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("KMV sketch aggregates partial+final (bounded state crosses the shuffle)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.sketch.Kmv.distinctByGroup(docs, "lang", "text", k = 16)
