@@ -1138,7 +1138,11 @@ object Dedup {
       .select(col(idAs), explode(array((0 until bands).map(b =>
         concat(lit(s"$b:"), concat_ws("|", slice(col("mh"), b * r + 1, r)))): _*))
         .as("band_key"))
+    val ctxtC = freshName(newDocs, "__ctxt")
     incrementalNearDupCore(sets(newDocs, "id_n"), sets(corpus, "id_c"),
+      corpus.select(col(idCol).as("id_c"), col(textCol).as(ctxtC)),
+      t => graft.expressions.ShingleStrings(t, shingleSize,
+        wholeIfShort = true, distinct = true),
       bandKeys, idCol, thresholdPpm, maxBucket)
   }
 
@@ -1158,9 +1162,12 @@ object Dedup {
       shingleSize: Int = 3,
       thresholdPpm: Long = 700000L,
       maxBucket: Int = 1000): DataFrame = {
+    val ctxtC = freshName(newDocs, "__ctxt")
     incrementalNearDupCore(
       fastShingleSets(newDocs, idCol, "id_n", textCol, shingleSize),
       fastShingleSets(corpus, idCol, "id_c", textCol, shingleSize),
+      corpus.select(col(idCol).as("id_c"), col(textCol).as(ctxtC)),
+      t => graft.expressions.ShingleHashes(t, shingleSize),
       fastBandKeys(_, _, numHashes, bands), idCol, thresholdPpm, maxBucket)
   }
 
@@ -1202,10 +1209,24 @@ object Dedup {
     * definition so the portable and production variants cannot drift on
     * the cap/saturation invariant or the asymmetry (corpus-internal pairs
     * never materialize).
+    *
+    * The corpus VERIFY side joins `(id_c, text)` and builds the set in
+    * the post-attach projection (same guide-§8 move as [[verifyJaccard]]):
+    * the sealed corpus pays one set pass for the band table — required,
+    * every corpus doc must band — but the verify-side set used to be a
+    * SECOND corpus-wide pass in the join input; now only LSH-candidate
+    * corpus rows pay it. The increment keeps joining its precomputed
+    * `newSets` (the batch is small by contract, and its sets already
+    * exist for banding). The artifact/streaming paths
+    * ([[CorpusArtifacts.incrementalNearDupPrepared]],
+    * [[graft.streaming.StreamRouter.incrementalNearDup]]) are separate by
+    * design: their corpus sets are STORED, not recomputed.
     */
   private def incrementalNearDupCore(
       newSets: DataFrame,
       corpusSets: DataFrame,
+      corpusText: DataFrame, // (id_c, <fresh text col>) — verify side
+      corpusSetOf: Column => Column,
       bandKeys: (DataFrame, String) => DataFrame,
       idCol: String,
       thresholdPpm: Long,
@@ -1224,10 +1245,12 @@ object Dedup {
       .join(corpusBuckets, "band_key")
       .select("id_n", "id_c").distinct()
 
+    val ctxt = corpusText.columns.filter(_ != "id_c").head
     candidates
       .join(newSets, "id_n")
-      .join(corpusSets.withColumnRenamed("sh", "sh_c"), "id_c")
-      .withColumn("jaccard_ppm", jaccardPpm(col("sh"), col("sh_c")))
+      .join(corpusText, "id_c")
+      .withColumn("jaccard_ppm",
+        jaccardPpm(col("sh"), corpusSetOf(col(ctxt))))
       .filter(col("jaccard_ppm") >= thresholdPpm)
       .select(col("id_n").as(idCol), col("id_c").as("corpus_id"), col("jaccard_ppm"))
   }

@@ -184,6 +184,36 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup verify attaches corpus TEXT; only the increment side carries sets") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newBatch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val frames = Seq(
+      "portable" -> graft.dedup.Dedup.incrementalNearDupPairs(newBatch, corpus),
+      "fast" -> graft.dedup.Dedup.incrementalNearDupPairsFast(newBatch, corpus))
+    frames.foreach { case (name, df) =>
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      // the increment side legitimately joins its precomputed sets (the
+      // batch is small by contract; its sets already exist for banding);
+      // the CORPUS verify side must attach text — a second set-building
+      // Project in a join input would be a corpus-wide set pass on top of
+      // the (required) band-table pass
+      val setBuildingJoinInputs = joins.flatMap(_.children).distinct.count {
+        case p: Project => p.projectList.exists(_.exists {
+          case _: graft.expressions.ShingleStrings => true
+          case _: graft.expressions.ShingleHashes => true
+          case _ => false
+        })
+        case _ => false
+      }
+      assert(setBuildingJoinInputs <= 1,
+        s"$name: expected only the increment side to carry sets into a " +
+          s"join; the corpus verify side must attach text:\n" +
+          s"${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("KMV sketch aggregates partial+final (bounded state crosses the shuffle)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.sketch.Kmv.distinctByGroup(docs, "lang", "text", k = 16)
