@@ -95,6 +95,14 @@ object ProbePairs {
     println(f"FULL new=${med(fNew)}%.3f s  old=${med(fOld)}%.3f s  " +
       s"(all new=${fNew.map(t => f"$t%.3f").mkString(",")} " +
       s"old=${fOld.map(t => f"$t%.3f").mkString(",")})")
+
+    // does AQE stage-reuse collapse the two identical nSpans subtrees at
+    // runtime (the initial plan shows 3 corpus-wide md5_span_fps passes)?
+    val cp = graft.dedup.Dedup.containmentPairs(docs)
+    cp.collect()
+    val finalPlan = cp.queryExecution.executedPlan.toString
+    val nSpanPasses = "md5_span_fps".r.findAllIn(finalPlan).length
+    println(s"CONTAINMENT_FINAL_PLAN reused=${finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage")} md5_span_fps_sites=$nSpanPasses")
     spark.stop()
   }
 }
